@@ -1,0 +1,16 @@
+from .base import AtomicDataset, InMemoryDataset, RandomSplitDataset, SubsetDataset
+from .synthetic import LJTestDataset, lj_reference
+from .file_datasets import NPZDataset, HDF5Dataset, ASEDataset, LMDBDataset
+
+__all__ = [
+    "AtomicDataset",
+    "InMemoryDataset",
+    "RandomSplitDataset",
+    "SubsetDataset",
+    "LJTestDataset",
+    "lj_reference",
+    "NPZDataset",
+    "HDF5Dataset",
+    "ASEDataset",
+    "LMDBDataset",
+]

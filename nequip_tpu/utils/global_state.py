@@ -1,0 +1,58 @@
+"""Global numerical state for the framework.
+
+The reference keeps two dtypes (``/root/reference/nequip/utils/global_dtype.py``,
+``global_state.py:66-186``): a fixed float64 "global dtype" for raw data and
+energy accumulation, and a ``model_dtype`` (f32/f64) for network weights.
+
+On TPU, float64 is emulated and slow, so the policy is adapted:
+
+* the global dtype follows ``jax_enable_x64``: float64 on CPU test runs
+  (where the reference's 1e-12-level parity gates are enforced), float32 on
+  TPU production runs;
+* ``model_dtype`` is a per-model setting threaded through module
+  construction via a context (see ``nequip_tpu.utils.dtype``);
+* the TF32 toggle maps to ``jax.default_matmul_precision``
+  ("highest" = strict f32, "default"/"tensorfloat32" = fast path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_GLOBAL_STATE = {
+    "initialized": False,
+    "allow_tf32": False,
+}
+
+
+def global_dtype():
+    """float64 when x64 is enabled (CPU/test), else float32 (TPU prod)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def set_global_state(allow_tf32: bool = False, seed: Optional[int] = None) -> None:
+    """Initialize process-wide numerical defaults.
+
+    Parity: ``set_global_state`` (``utils/global_state.py:66``) — seeding is
+    handled explicitly through jax PRNG keys instead of a global seed, and
+    dynamo/JIT-fusion flags have no analog (XLA fuses by default).
+    """
+    _GLOBAL_STATE["initialized"] = True
+    set_tf32(allow_tf32)
+
+
+def set_tf32(enabled: bool) -> None:
+    _GLOBAL_STATE["allow_tf32"] = bool(enabled)
+    jax.config.update(
+        "jax_default_matmul_precision", "tensorfloat32" if enabled else "highest"
+    )
+
+
+def get_latest_global_state() -> dict:
+    return {
+        "allow_tf32": _GLOBAL_STATE["allow_tf32"],
+        "x64": bool(jax.config.jax_enable_x64),
+    }

@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+from nequip_tpu.data import neighbor_list
+
+
+def brute_force_nl(pos, r_max, cell=None, pbc=(False, False, False)):
+    """O(N^2 x images) reference implementation."""
+    n = len(pos)
+    pbc = np.asarray(pbc)
+    if cell is None or not pbc.any():
+        shifts = [np.zeros(3)]
+        cell_m = np.zeros((3, 3))
+    else:
+        cell_m = np.asarray(cell).reshape(3, 3)
+        inv = np.linalg.inv(cell_m)
+        heights = 1.0 / np.linalg.norm(inv, axis=0)
+        nr = np.where(pbc, np.ceil(r_max / heights).astype(int), 0)
+        shifts = [
+            np.array([i, j, k], dtype=float)
+            for i in range(-nr[0], nr[0] + 1)
+            for j in range(-nr[1], nr[1] + 1)
+            for k in range(-nr[2], nr[2] + 1)
+        ]
+    edges = set()
+    for i in range(n):
+        for j in range(n):
+            for s in shifts:
+                if i == j and np.all(s == 0):
+                    continue
+                d = np.linalg.norm(pos[j] + s @ cell_m - pos[i])
+                if d <= r_max:
+                    edges.add((i, j) + tuple(int(x) for x in s))
+    return edges
+
+
+def to_set(edge_index, shifts):
+    return {
+        (int(edge_index[0, e]), int(edge_index[1, e]))
+        + tuple(int(x) for x in shifts[e])
+        for e in range(edge_index.shape[1])
+    }
+
+
+def test_open_boundary():
+    pos = np.random.RandomState(0).uniform(0, 10, (40, 3))
+    ei, sh = neighbor_list(pos, 3.0)
+    assert to_set(ei, sh) == brute_force_nl(pos, 3.0)
+    # directed symmetry
+    s = to_set(ei, sh)
+    assert all((j, i, -a, -b, -c) in s for (i, j, a, b, c) in s)
+
+
+def test_pbc_orthorhombic():
+    r = np.random.RandomState(1)
+    cell = np.diag([6.0, 7.0, 8.0])
+    pos = r.uniform(0, 6, (30, 3))
+    ei, sh = neighbor_list(pos, 3.5, cell=cell, pbc=(True, True, True))
+    assert to_set(ei, sh) == brute_force_nl(pos, 3.5, cell, (True, True, True))
+
+
+def test_pbc_triclinic():
+    r = np.random.RandomState(2)
+    cell = np.array([[6.0, 0, 0], [2.0, 6.0, 0], [1.0, -1.5, 7.0]])
+    frac = r.uniform(0, 1, (25, 3))
+    pos = frac @ cell
+    ei, sh = neighbor_list(pos, 3.0, cell=cell, pbc=(True, True, True))
+    assert to_set(ei, sh) == brute_force_nl(pos, 3.0, cell, (True, True, True))
+
+
+def test_pbc_mixed():
+    r = np.random.RandomState(3)
+    cell = np.diag([5.0, 5.0, 20.0])
+    pos = r.uniform(0, 5, (20, 3))
+    ei, sh = neighbor_list(pos, 3.0, cell=cell, pbc=(True, True, False))
+    assert to_set(ei, sh) == brute_force_nl(pos, 3.0, cell, (True, True, False))
+    assert np.all(sh[:, 2] == 0)
+
+
+def test_small_cell_multiple_images():
+    """Cell smaller than cutoff: multiple periodic images of the same pair."""
+    cell = np.diag([2.0, 2.0, 2.0])
+    pos = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+    ei, sh = neighbor_list(pos, 4.0, cell=cell, pbc=(True, True, True))
+    assert to_set(ei, sh) == brute_force_nl(pos, 4.0, cell, (True, True, True))
+    # self-edges through periodic images must exist
+    assert np.any(ei[0] == ei[1])
+
+
+def test_isolated_atom():
+    ei, sh = neighbor_list(np.zeros((1, 3)), 3.0)
+    assert ei.shape == (2, 0)
