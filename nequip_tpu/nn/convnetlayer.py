@@ -1,0 +1,111 @@
+"""Convolution layer: interaction block + gated equivariant nonlinearity.
+
+Parity: ``ConvNetLayer`` (``/root/reference/nequip/nn/convnetlayer.py:26-170``),
+including CG-path-existence pruning of the hidden irreps and the gate parity
+selection rules.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+from ..data import _keys
+from ..ops.gate import Gate, NormActivation
+from ..ops.irreps import Irrep, Irreps, tp_path_exists
+from .interaction_block import InteractionBlock
+from .module import GraphModule, Params
+
+
+class ConvNetLayer(GraphModule):
+    def __init__(
+        self,
+        irreps_in,
+        feature_irreps_hidden,
+        convolution=InteractionBlock,
+        convolution_kwargs: Optional[Dict[str, Any]] = None,
+        resnet: bool = False,
+        nonlinearity_type: str = "gate",
+        nonlinearity_scalars: Dict[str, str] = {"e": "silu", "o": "tanh"},
+        nonlinearity_gates: Dict[str, str] = {"e": "silu", "o": "tanh"},
+    ):
+        super().__init__()
+        assert nonlinearity_type in ("gate", "norm")
+        nl_scalars = {1: nonlinearity_scalars["e"], -1: nonlinearity_scalars["o"]}
+        nl_gates = {1: nonlinearity_gates["e"], -1: nonlinearity_gates["o"]}
+        convolution_kwargs = dict(convolution_kwargs or {})
+
+        self.feature_irreps_hidden = Irreps(feature_irreps_hidden)
+        self._init_irreps(
+            irreps_in=irreps_in, required_irreps_in=[_keys.NODE_FEATURES_KEY]
+        )
+
+        edge_attr_irreps = self.irreps_in[_keys.EDGE_ATTRS_KEY]
+        irreps_prev = self.irreps_in[_keys.NODE_FEATURES_KEY]
+
+        irreps_scalars = Irreps(
+            [
+                mi
+                for mi in self.feature_irreps_hidden
+                if mi.ir.l == 0 and tp_path_exists(irreps_prev, edge_attr_irreps, mi.ir)
+            ]
+        )
+        irreps_gated = Irreps(
+            [
+                mi
+                for mi in self.feature_irreps_hidden
+                if mi.ir.l > 0 and tp_path_exists(irreps_prev, edge_attr_irreps, mi.ir)
+            ]
+        )
+        irreps_layer_out = (irreps_scalars + irreps_gated).simplify()
+
+        if nonlinearity_type == "gate":
+            gate_ir = (
+                Irrep(0, 1)
+                if tp_path_exists(irreps_prev, edge_attr_irreps, "0e")
+                else Irrep(0, -1)
+            )
+            irreps_gates = Irreps([(mi.mul, gate_ir) for mi in irreps_gated])
+            self.equivariant_nonlin = Gate(
+                irreps_scalars=irreps_scalars,
+                act_scalars=[nl_scalars[mi.ir.p] for mi in irreps_scalars],
+                irreps_gates=irreps_gates,
+                act_gates=[nl_gates[mi.ir.p] for mi in irreps_gates],
+                irreps_gated=irreps_gated,
+            )
+            conv_irreps_out = self.equivariant_nonlin.irreps_in.simplify()
+        else:
+            conv_irreps_out = irreps_layer_out.simplify()
+            self.equivariant_nonlin = NormActivation(
+                conv_irreps_out, scalar_nonlinearity=nl_scalars[1]
+            )
+
+        self.resnet = bool(resnet) and (
+            self.equivariant_nonlin.irreps_out == irreps_prev
+        )
+
+        convolution_kwargs.pop("irreps_in", None)
+        convolution_kwargs.pop("irreps_out", None)
+        self.conv = convolution(
+            irreps_in=self.irreps_in, irreps_out=conv_irreps_out, **convolution_kwargs
+        )
+
+        self.irreps_out.update(self.conv.irreps_out)
+        self.irreps_out[_keys.NODE_FEATURES_KEY] = self.equivariant_nonlin.irreps_out
+
+    def init(self, rng) -> Params:
+        return {"conv": self.conv.init(rng)}
+
+    def __call__(self, params: Params, data: dict) -> dict:
+        old_x = data[_keys.NODE_FEATURES_KEY]
+        data = self.conv(params["conv"], data)
+        x = self.equivariant_nonlin(data[_keys.NODE_FEATURES_KEY])
+        if self.resnet:
+            x = old_x + x
+        data[_keys.NODE_FEATURES_KEY] = x
+        return data
+
+    def __repr__(self):
+        return (
+            f"ConvNetLayer(hidden={self.feature_irreps_hidden}, "
+            f"out={self.irreps_out[_keys.NODE_FEATURES_KEY]}, resnet={self.resnet})"
+        )

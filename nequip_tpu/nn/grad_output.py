@@ -1,0 +1,159 @@
+"""Forces, stress, and virial as gradients of the energy.
+
+Parity: ``ForceStressOutput`` (``/root/reference/nequip/nn/grad_output.py``):
+the symmetrized strain-displacement trick (Knuth et al., Comput. Phys.
+Commun. 190, 33-50, 2015) applied to positions and cell, with
+
+    forces = -dE/dpos,   stress = (dE/ddisplacement) / V,
+    virial = -dE/ddisplacement = -stress * V.
+
+TPU-native: ``jax.grad`` with ``has_aux`` replaces torch autograd; the
+reference's ``create_graph=training`` double-backward bookkeeping disappears
+because JAX grads-of-grads compose naturally (force-loss training just
+differentiates through this function again).
+
+The alternate branch differentiates w.r.t. ``edge_vectors`` directly for
+spatially-decomposed inference (LAMMPS-MLIAP-style,
+``grad_output.py:276-298``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..data import _keys
+from ..ops.irreps import Irreps
+from .module import GraphModule, Params
+
+
+class ForceStressOutput(GraphModule):
+    def __init__(self, func: GraphModule, do_derivatives: bool = True):
+        super().__init__()
+        self.func = func
+        self.do_derivatives = do_derivatives
+        self._init_irreps(
+            irreps_in=dict(func.irreps_in), irreps_out=dict(func.irreps_out)
+        )
+        self.irreps_out[_keys.FORCE_KEY] = Irreps("1o")
+        self.irreps_out[_keys.STRESS_KEY] = Irreps("1o")
+        self.irreps_out[_keys.VIRIAL_KEY] = Irreps("1o")
+        self.irreps_out[_keys.EDGE_FORCE_KEY] = Irreps("1o")
+
+    def init(self, rng) -> Params:
+        return self.func.init(rng)
+
+    def frozen_param_paths(self):
+        return self.func.frozen_param_paths()
+
+    def __call__(self, params: Params, data: dict) -> dict:
+        if not self.do_derivatives:
+            return self.func(params, data)
+
+        if _keys.EDGE_VECTORS_KEY in data:
+            return self._edge_force_branch(params, data)
+        return self._pos_stress_branch(params, data)
+
+    # ------------------------------------------------------------------
+    def _pos_stress_branch(self, params: Params, data: dict) -> dict:
+        pos = data[_keys.POSITIONS_KEY]
+        has_cell = _keys.CELL_KEY in data
+        num_frames = data[_keys.NUM_NODES_KEY].shape[0]
+        batch = data.get(_keys.BATCH_KEY)
+        if batch is None:
+            batch = jnp.zeros(pos.shape[0], dtype=jnp.int32)
+        orig_cell = data.get(_keys.CELL_KEY)
+
+        def energy_fn(pos_in, displacement):
+            sym = 0.5 * (displacement + jnp.swapaxes(displacement, -1, -2))
+            sym_per_node = jnp.take(sym, batch, axis=0)  # (N, 3, 3)
+            new_pos = pos_in + jnp.einsum("ni,nij->nj", pos_in, sym_per_node)
+            inner = dict(data)
+            inner[_keys.POSITIONS_KEY] = new_pos
+            if has_cell:
+                cell = orig_cell.reshape(-1, 3, 3)
+                inner[_keys.CELL_KEY] = cell + jnp.einsum("fij,fjk->fik", cell, sym)
+            out = self.func(params, inner)
+            energy = out[_keys.TOTAL_ENERGY_KEY].reshape(-1)
+            if _keys.FRAME_MASK_KEY in data:
+                energy = jnp.where(data[_keys.FRAME_MASK_KEY], energy, 0.0)
+            return jnp.sum(energy), out
+
+        displacement = jnp.zeros((num_frames, 3, 3), dtype=pos.dtype)
+        (dE_dpos, dE_ddisp), out = jax.grad(
+            energy_fn, argnums=(0, 1), has_aux=True
+        )(pos, displacement)
+
+        out = dict(out)
+        out[_keys.POSITIONS_KEY] = pos  # restore undisplaced inputs
+        if has_cell:
+            out[_keys.CELL_KEY] = orig_cell
+        out[_keys.FORCE_KEY] = -dE_dpos.astype(pos.dtype)
+
+        virial_raw = dE_ddisp  # (F, 3, 3) = dE/dstrain
+        if has_cell:
+            vol = jnp.abs(jnp.linalg.det(orig_cell.reshape(-1, 3, 3)))
+            if _keys.FRAME_MASK_KEY in data:
+                vol = jnp.where(data[_keys.FRAME_MASK_KEY], vol, 1.0)
+            out[_keys.STRESS_KEY] = virial_raw / vol[:, None, None]
+        out[_keys.VIRIAL_KEY] = -virial_raw
+        return out
+
+    # ------------------------------------------------------------------
+    def _edge_force_branch(self, params: Params, data: dict) -> dict:
+        edge_vectors = data[_keys.EDGE_VECTORS_KEY]
+
+        def energy_fn(vecs):
+            inner = dict(data)
+            inner[_keys.EDGE_VECTORS_KEY] = vecs
+            out = self.func(params, inner)
+            energy = out[_keys.TOTAL_ENERGY_KEY].reshape(-1)
+            if _keys.FRAME_MASK_KEY in data:
+                energy = jnp.where(data[_keys.FRAME_MASK_KEY], energy, 0.0)
+            return jnp.sum(energy), out
+
+        dE_dvec, out = jax.grad(energy_fn, has_aux=True)(edge_vectors)
+        out = dict(out)
+        # no sign flip — matches the LAMMPS pair convention (grad_output.py:292-296)
+        out[_keys.EDGE_FORCE_KEY] = dE_dvec
+        return out
+
+    def __repr__(self):
+        return f"ForceStressOutput(do_derivatives={self.do_derivatives},\n  func={self.func!r})"
+
+
+class PartialForceOutput(GraphModule):
+    """Full jacobian: partial_forces[i, j] = -d(E_j)/d(pos_i).
+
+    Parity: ``PartialForceOutput`` (``grad_output.py:14-72``).
+    """
+
+    def __init__(self, func: GraphModule):
+        super().__init__()
+        self.func = func
+        self._init_irreps(
+            irreps_in=dict(func.irreps_in), irreps_out=dict(func.irreps_out)
+        )
+        self.irreps_out[_keys.PARTIAL_FORCE_KEY] = Irreps("1o")
+        self.irreps_out[_keys.FORCE_KEY] = Irreps("1o")
+
+    def init(self, rng) -> Params:
+        return self.func.init(rng)
+
+    def __call__(self, params: Params, data: dict) -> dict:
+        pos = data[_keys.POSITIONS_KEY]
+        out_store = {}
+
+        def per_atom_energy(pos_in):
+            inner = dict(data)
+            inner[_keys.POSITIONS_KEY] = pos_in
+            out = self.func(params, inner)
+            out_store.update(out)
+            return out[_keys.PER_ATOM_ENERGY_KEY].reshape(-1)
+
+        jac = jax.jacrev(per_atom_energy)(pos)  # (n_energies, n_atoms, 3)
+        partial = -jac  # partial[j, i] = -dE_j/dpos_i (reference layout)
+        out = dict(out_store)
+        out[_keys.PARTIAL_FORCE_KEY] = partial
+        out[_keys.FORCE_KEY] = jnp.sum(partial, axis=0)
+        return out

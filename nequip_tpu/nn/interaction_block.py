@@ -1,0 +1,187 @@
+"""The NequIP message-passing interaction block.
+
+Parity: ``InteractionBlock``
+(``/root/reference/nequip/nn/interaction_block.py:21-207``):
+
+    linear_1 -> avg-num-neighbor norm -> [ghost exchange] ->
+    TP-scatter with radial-MLP edge weights -> linear_2 -> + self-connection
+
+The ``uvu`` instruction list is built by CG selection rules against the
+requested output irreps, sorted so the second linear sees coalesced chunks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Union
+
+import jax
+
+from ..data import _keys
+from ..ops.irreps import Irreps
+from ..ops.linear import Linear
+from ..ops.mlp import ScalarMLP as ScalarMLPFunction
+from ..ops.tensor_product import fully_connected_tensor_product, uvu_instructions
+from .ghost_exchange import NoOpGhostExchange
+from .module import GraphModule, Params
+from .norm import AvgNumNeighborsNorm
+from .tp_scatter import TensorProductScatter
+
+
+class InteractionBlock(GraphModule):
+    def __init__(
+        self,
+        irreps_in,
+        irreps_out,
+        radial_mlp_depth: int = 1,
+        radial_mlp_width: int = 8,
+        use_sc: bool = True,
+        is_first_layer: bool = False,
+        type_names: Optional[Sequence[str]] = None,
+        avg_num_neighbors: Optional[Union[float, Dict[str, float]]] = None,
+        tp_impl: str = "xla",
+    ):
+        super().__init__()
+        self._init_irreps(
+            irreps_in=irreps_in,
+            required_irreps_in=[
+                _keys.EDGE_EMBEDDING_KEY,
+                _keys.EDGE_ATTRS_KEY,
+                _keys.NODE_FEATURES_KEY,
+                _keys.NODE_ATTRS_KEY,
+            ],
+            irreps_out={_keys.NODE_FEATURES_KEY: Irreps(irreps_out)},
+        )
+        # the edge embedding must be invariant scalars (feeds a dense MLP)
+        edge_emb_irreps = self.irreps_in[_keys.EDGE_EMBEDDING_KEY]
+        assert all(mi.ir.l == 0 and mi.ir.p == 1 for mi in edge_emb_irreps), (
+            f"edge embedding must be 0e scalars, got {edge_emb_irreps}"
+        )
+        self.use_sc = use_sc
+        self.is_first_layer = is_first_layer
+
+        feature_irreps_in = self.irreps_in[_keys.NODE_FEATURES_KEY]
+        feature_irreps_out = self.irreps_out[_keys.NODE_FEATURES_KEY]
+        irreps_edge_attr = self.irreps_in[_keys.EDGE_ATTRS_KEY]
+
+        self.avg_num_neighbors_norm = AvgNumNeighborsNorm(
+            avg_num_neighbors=avg_num_neighbors,
+            type_names=type_names,
+            irreps_in=self.irreps_in,
+        )
+
+        self.linear_1 = Linear(feature_irreps_in, feature_irreps_in)
+
+        irreps_mid, instructions = uvu_instructions(
+            feature_irreps_in, irreps_edge_attr, feature_irreps_out
+        )
+        self.tp_scatter = TensorProductScatter(
+            feature_irreps_in, irreps_edge_attr, irreps_mid, instructions, impl=tp_impl
+        )
+
+        self.edge_mlp = ScalarMLPFunction(
+            input_dim=self.irreps_in[_keys.EDGE_EMBEDDING_KEY].num_irreps,
+            output_dim=self.tp_scatter.weight_numel,
+            hidden_layers_depth=radial_mlp_depth,
+            hidden_layers_width=radial_mlp_width,
+            nonlinearity="silu",
+            bias=False,
+            forward_weight_init=True,
+        )
+
+        # simplify: merged same-ir chunks (changes Linear normalization like
+        # the reference notes at interaction_block.py:128-137)
+        self.irreps_mid_simplified = irreps_mid.simplify()
+        self._mid_needs_merge = len(self.irreps_mid_simplified) != len(irreps_mid)
+        self.irreps_mid = irreps_mid
+        self.linear_2 = Linear(self.irreps_mid_simplified, feature_irreps_out)
+
+        self.sc = (
+            fully_connected_tensor_product(
+                feature_irreps_in,
+                self.irreps_in[_keys.NODE_ATTRS_KEY],
+                feature_irreps_out,
+            )
+            if use_sc
+            else None
+        )
+
+        self.ghost_exchange = NoOpGhostExchange(
+            field=_keys.NODE_FEATURES_KEY, irreps_in=self.irreps_in
+        )
+
+    # ------------------------------------------------------------------
+    def init(self, rng) -> Params:
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        params = {
+            "linear_1": self.linear_1.init(k1),
+            "edge_mlp": self.edge_mlp.init(k2),
+            "linear_2": self.linear_2.init(k3),
+        }
+        if self.sc is not None:
+            params["sc"] = self.sc.init_weights(k4)
+        return params
+
+    def _merge_mid(self, x):
+        """Reshape uncoalesced mid chunks (same ir, adjacent) into merged
+        ir_mul chunks so linear_2 sees the simplified layout."""
+        if not self._mid_needs_merge:
+            return x
+        import jax.numpy as jnp
+
+        batch = x.shape[:-1]
+        out = []
+        slices = self.irreps_mid.slices()
+        i = 0
+        while i < len(self.irreps_mid):
+            ir = self.irreps_mid[i].ir
+            group = []
+            while i < len(self.irreps_mid) and self.irreps_mid[i].ir == ir:
+                mi = self.irreps_mid[i]
+                group.append(
+                    x[..., slices[i]].reshape(batch + (ir.dim, mi.mul))
+                )
+                i += 1
+            merged = jnp.concatenate(group, axis=-1)  # (…, 2l+1, sum_mul)
+            out.append(merged.reshape(batch + (-1,)))
+        return jnp.concatenate(out, axis=-1)
+
+    def __call__(self, params: Params, data: dict) -> dict:
+        x = data[_keys.NODE_FEATURES_KEY]
+        num_nodes = x.shape[0]
+
+        if self.sc is not None:
+            sc = self.sc(x, data[_keys.NODE_ATTRS_KEY], params["sc"].astype(x.dtype))
+
+        x = self.linear_1(params["linear_1"], x)
+
+        data = dict(data)
+        data[_keys.NODE_FEATURES_KEY] = x
+        data = self.avg_num_neighbors_norm({}, data)
+        if not self.is_first_layer:
+            data = self.ghost_exchange({}, data)
+        x = data[_keys.NODE_FEATURES_KEY]
+
+        edge_weight = self.edge_mlp(params["edge_mlp"], data[_keys.EDGE_EMBEDDING_KEY])
+        x = self.tp_scatter.forward_tp_scatter(
+            x=x,
+            edge_attr=data[_keys.EDGE_ATTRS_KEY],
+            edge_weight=edge_weight,
+            edge_dst=data[_keys.EDGE_INDEX_KEY][0],
+            edge_src=data[_keys.EDGE_INDEX_KEY][1],
+            edge_mask=data.get(_keys.EDGE_MASK_KEY),
+            num_nodes=num_nodes,
+        )
+
+        x = self.linear_2(params["linear_2"], self._merge_mid(x))
+
+        if self.sc is not None:
+            x = x + sc
+
+        data[_keys.NODE_FEATURES_KEY] = x
+        return data
+
+    def __repr__(self):
+        return (
+            f"InteractionBlock({self.irreps_in[_keys.NODE_FEATURES_KEY]} -> "
+            f"{self.irreps_out[_keys.NODE_FEATURES_KEY]}, sc={self.use_sc})"
+        )

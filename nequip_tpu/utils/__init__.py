@@ -1,0 +1,20 @@
+from .dtype import default_dtype, dtype_from_name, dtype_to_name, get_default_dtype, model_tolerance
+from .global_state import set_global_state, global_dtype, set_tf32, get_latest_global_state
+from .config import instantiate, resolve, load_config, register_resolver, locate
+
+__all__ = [
+    "default_dtype",
+    "dtype_from_name",
+    "dtype_to_name",
+    "get_default_dtype",
+    "model_tolerance",
+    "set_global_state",
+    "global_dtype",
+    "set_tf32",
+    "get_latest_global_state",
+    "instantiate",
+    "resolve",
+    "load_config",
+    "register_resolver",
+    "locate",
+]
