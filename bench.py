@@ -1,0 +1,71 @@
+"""Benchmark: MD-inference throughput (energy + forces per step) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: atom-steps/s for a periodic Cu system at l_max=2 (the BASELINE.json
+north-star scenario).  ``vs_baseline`` is measured against an assumed
+A100-class reference throughput of 1.0e6 atom-steps/s/GPU for a NequIP
+l_max=2 model (the reference repo publishes no numbers — see BASELINE.md —
+so this is an order-of-magnitude anchor from the Tan et al. performance
+paper's hardware class; the target is >= 2x).
+
+Env knobs: NEQUIP_BENCH_ATOMS (default 5000), NEQUIP_BENCH_STEPS (default 10),
+NEQUIP_BENCH_DTYPE (float32).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+_A100_BASELINE_ATOM_STEPS_PER_S = 1.0e6
+
+
+def main():
+    import jax
+
+    n_atoms = int(os.environ.get("NEQUIP_BENCH_ATOMS", 5000))
+    n_steps = int(os.environ.get("NEQUIP_BENCH_STEPS", 10))
+    dtype = os.environ.get("NEQUIP_BENCH_DTYPE", "float32")
+
+    from __graft_entry__ import _example_model_and_batch
+
+    model, params, data = _example_model_and_batch(
+        model_dtype=dtype, n_atoms=n_atoms, l_max=2
+    )
+    from nequip_tpu.data import _keys as _k
+
+    n_atoms = int(np.asarray(data[_k.NODE_MASK_KEY]).sum())
+
+    fwd = jax.jit(lambda p, d: model(p, d))
+    from nequip_tpu.data import _keys
+
+    # warmup / compile (sync via host transfer — block_until_ready does not
+    # reliably wait through the axon device tunnel)
+    out = fwd(params, data)
+    np.asarray(out[_keys.FORCE_KEY][0])
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = fwd(params, data)
+    np.asarray(out[_keys.FORCE_KEY][0])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    atom_steps_per_s = n_atoms / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"MD inference throughput ({n_atoms} atoms, l_max=2, energy+forces)",
+                "value": round(atom_steps_per_s, 1),
+                "unit": "atom-steps/s/chip",
+                "vs_baseline": round(
+                    atom_steps_per_s / _A100_BASELINE_ATOM_STEPS_PER_S, 4
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

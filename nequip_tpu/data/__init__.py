@@ -22,6 +22,13 @@ from .atomic_data_dict import (
 )
 from .neighborlist import neighbor_list, compute_neighborlist_, register_neighborlist_backend
 from .loader import DataLoader
+from .modifier import BaseModifier, PerAtomModifier, MappedFieldModifier, EdgeLengths, NumNeighbors
+from .stats_manager import (
+    DataStatisticsManager,
+    CommonDataStatisticsManager,
+    EnergyOnlyDataStatisticsManager,
+)
+from .datamodule import NequIPDataModule, ASEDataModule
 
 __all__ = [
     "_keys",
@@ -45,4 +52,14 @@ __all__ = [
     "compute_neighborlist_",
     "register_neighborlist_backend",
     "DataLoader",
+    "BaseModifier",
+    "PerAtomModifier",
+    "MappedFieldModifier",
+    "EdgeLengths",
+    "NumNeighbors",
+    "DataStatisticsManager",
+    "CommonDataStatisticsManager",
+    "EnergyOnlyDataStatisticsManager",
+    "NequIPDataModule",
+    "ASEDataModule",
 ]

@@ -54,6 +54,24 @@ _ACT_PARITY = {
 }
 
 
+# pure-numpy twins of the activations, used only for the host-side
+# normalization-constant quadrature (keeps module construction jax-free)
+def _np_softplus(x):
+    return np.logaddexp(0.0, x)
+
+
+_NP_ACTS = {
+    "silu": lambda x: x / (1.0 + np.exp(-x)),
+    "mish": lambda x: x * np.tanh(_np_softplus(x)),
+    "gelu": lambda x: 0.5 * x * (1.0 + np.tanh(np.sqrt(2 / np.pi) * (x + 0.044715 * x**3))),
+    "ssp": lambda x: _np_softplus(x) - math.log(2.0),
+    "tanh": np.tanh,
+    "abs": np.abs,
+    "sigmoid": lambda x: 1.0 / (1.0 + np.exp(-x)),
+    "softplus": _np_softplus,
+}
+
+
 @lru_cache(maxsize=None)
 def second_moment(name: Optional[str]) -> float:
     """E_{z~N(0,1)}[act(z)^2] via 128-point Gauss-Hermite quadrature."""
@@ -61,8 +79,7 @@ def second_moment(name: Optional[str]) -> float:
         return 1.0
     nodes, weights = np.polynomial.hermite_e.hermegauss(128)
     w = weights / np.sqrt(2.0 * np.pi)
-    fn = _BASE_ACTS[name]
-    vals = np.asarray(fn(jnp.asarray(nodes, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)), dtype=np.float64)
+    vals = _NP_ACTS[name](nodes)
     return float(np.sum(w * vals**2))
 
 

@@ -65,6 +65,12 @@ def _lookup(root: Any, path: str) -> Any:
     return cur
 
 
+class _Unresolved(Exception):
+    """Raised when a resolver is not (yet) registered — the interpolation is
+    kept verbatim so it can be resolved in a later pass (e.g.
+    ``training_data_stats`` after statistics are computed)."""
+
+
 def _resolve_expr(expr: str, root: Any) -> Any:
     expr = expr.strip()
     if ":" in expr:
@@ -79,6 +85,7 @@ def _resolve_expr(expr: str, root: Any) -> Any:
                 else:
                     args.append(yaml.safe_load(raw))
             return _RESOLVERS[name](*args)
+        raise _Unresolved(expr)
     return _lookup(root, expr)
 
 
@@ -113,11 +120,17 @@ def resolve(cfg: Any, root: Any = None) -> Any:
         if isinstance(node, str):
             m = _INTERP_RE.fullmatch(node)
             if m:
-                return _rec(_resolve_expr(m.group(1), root))
+                try:
+                    return _rec(_resolve_expr(m.group(1), root))
+                except _Unresolved:
+                    return node
             if _INTERP_PART_RE.search(node):
-                return _INTERP_PART_RE.sub(
-                    lambda mm: str(_rec(_resolve_expr(mm.group(1), root))), node
-                )
+                try:
+                    return _INTERP_PART_RE.sub(
+                        lambda mm: str(_rec(_resolve_expr(mm.group(1), root))), node
+                    )
+                except _Unresolved:
+                    return node
         return node
 
     return _rec(cfg)

@@ -14,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# NOTE: the axon TPU plugin overrides the JAX_PLATFORMS env var, so the
+# platform must be forced through the config API before backend init.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache makes repeated CPU test runs much faster
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
