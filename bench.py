@@ -31,8 +31,9 @@ def main():
 
     from __graft_entry__ import _example_model_and_batch
 
+    tp_impl = os.environ.get("NEQUIP_BENCH_TP_IMPL", "pallas")
     model, params, data = _example_model_and_batch(
-        model_dtype=dtype, n_atoms=n_atoms, l_max=2
+        model_dtype=dtype, n_atoms=n_atoms, l_max=2, tp_impl=tp_impl
     )
     from nequip_tpu.data import _keys as _k
 

@@ -310,7 +310,10 @@ def pad_batch(
     for k, v in data.items():
         v = np.asarray(v)
         if k == _keys.EDGE_INDEX_KEY:
-            padded = np.zeros((2, n_edges), dtype=_INT_DTYPE)
+            # padded edges point at the LAST node slot (a padded node when one
+            # exists): keeps dst-sorted edge order intact for fused kernels,
+            # and their (masked, zero) messages can never pollute row 0
+            padded = np.full((2, n_edges), n_nodes - 1, dtype=_INT_DTYPE)
             padded[:, :E] = v
             out[k] = padded
             continue

@@ -1,0 +1,322 @@
+"""Fused gather -> CG tensor-product -> scatter Pallas TPU kernel.
+
+The TPU-native equivalent of the reference's OpenEquivariance/cuEquivariance
+fused CUDA kernels (``/root/reference/nequip/nn/_tp_scatter_oeq.py``,
+``_tp_scatter_cueq.py``): the hottest op in the network computed without
+materializing the ``[E, mid_dim]`` message tensor in HBM and without XLA's
+slow scatter-add.
+
+Design (see ``/opt/skills/guides/pallas_guide.md`` patterns):
+
+* edges are laid out **sorted by destination node** and re-packed so that the
+  edge segment of every ROWS-row *node tile* is BLOCK_E-aligned (host/XLA
+  prep, pure jnp, one gather);
+* the kernel iterates over edge chunks; consecutive chunks that target the
+  same node tile keep the output tile resident in VMEM and accumulate into
+  it (flash-attention-style revisiting, ``chunk_first`` resets);
+* the CG contraction is unrolled as elementwise multiply-adds over
+  ``[BLOCK_E, mul]`` column blocks (ir_mul layout makes every CG term a
+  scaled columnwise product — VPU-friendly, no in-kernel reshapes);
+* the scatter becomes a **one-hot matmul on the MXU**:
+  ``out_tile += S @ msg`` with ``S[r, e] = (rel_dst[e] == r)``.
+
+Masked (padded) edges carry zero radial weights, so every path's message
+vanishes exactly; padding slots introduced by the tile alignment get
+``rel_dst = -1`` and never hit a row of S.
+
+The public entry ``fused_tp_scatter`` is a ``jax.custom_vjp``: the forward
+runs this kernel; the backward recomputes through the XLA reference path
+(exact same math), so first-order force evaluation (MD inference) gets the
+fused kernel while gradients stay exact.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cg import cg_component_normalized
+from ..tensor_product import TensorProduct
+
+DEFAULT_ROWS = 128
+DEFAULT_BLOCK_E = 256
+
+
+# ---------------------------------------------------------------------------
+# static kernel plan derived from the TensorProduct spec
+# ---------------------------------------------------------------------------
+class _TPPlan:
+    def __init__(self, tp: TensorProduct):
+        self.dim_in = tp.irreps_in1.dim
+        self.sh_dim = tp.irreps_in2.dim
+        self.mid_dim = tp.irreps_out.dim
+        self.weight_numel = tp.weight_numel
+
+        sl1 = tp.irreps_in1.slices()
+        sl2 = tp.irreps_in2.slices()
+        sl3 = tp.irreps_out.slices()
+
+        # per instruction: static offsets + nonzero CG terms
+        self.paths = []
+        for idx, ins in enumerate(tp.instructions):
+            assert ins.mode == "uvu" and ins.has_weight, (
+                "fused kernel supports the conv 'uvu' TP only"
+            )
+            mi1 = tp.irreps_in1[ins.i_in1]
+            mi2 = tp.irreps_in2[ins.i_in2]
+            mi3 = tp.irreps_out[ins.i_out]
+            assert mi2.mul == 1, "edge attrs (SH) must have multiplicity 1"
+            assert mi3.mul == mi1.mul
+            cg = cg_component_normalized(mi1.ir.l, mi2.ir.l, mi3.ir.l)
+            terms = [
+                (int(m1), int(m2), int(m3), float(cg[m1, m2, m3]) * ins.path_weight)
+                for m1 in range(mi1.ir.dim)
+                for m2 in range(mi2.ir.dim)
+                for m3 in range(mi3.ir.dim)
+                if abs(cg[m1, m2, m3]) > 1e-12
+            ]
+            self.paths.append(
+                dict(
+                    x_off=sl1[ins.i_in1].start,
+                    y_off=sl2[ins.i_in2].start,
+                    out_off=sl3[ins.i_out].start,
+                    mul=mi1.mul,
+                    dim1=mi1.ir.dim,
+                    dim3=mi3.ir.dim,
+                    w_sl=tp._weight_slices[idx],
+                    terms=terms,
+                )
+            )
+
+
+def _compute_tp_block(plan: _TPPlan, x, y, w, msg_ref):
+    """Write msg [BLOCK_E, mid_dim] into the VMEM scratch ``msg_ref``.
+
+    Accumulating in-place into one scratch buffer keeps Mosaic's scoped-VMEM
+    stack small (a dict of live column accumulators blew the 16M limit).
+    Per output column block, the sum over CG terms is built as one expression
+    so each [B, mul] write happens exactly once.
+    """
+    msg_ref[:] = jnp.zeros_like(msg_ref)
+    for p in plan.paths:
+        mul = p["mul"]
+        wp = w[:, p["w_sl"]]
+        xw_cache = {}
+        # group terms by output m3 so each column block is written once
+        by_m3 = {}
+        for m1, m2, m3, c in p["terms"]:
+            by_m3.setdefault(m3, []).append((m1, m2, c))
+        for m3, terms in by_m3.items():
+            acc = None
+            for m1, m2, c in terms:
+                if m1 not in xw_cache:
+                    off = p["x_off"] + m1 * mul
+                    xw_cache[m1] = x[:, off : off + mul] * wp
+                yv = y[:, p["y_off"] + m2 : p["y_off"] + m2 + 1]
+                t = (c * yv) * xw_cache[m1]
+                acc = t if acc is None else acc + t
+            col = p["out_off"] + m3 * mul
+            msg_ref[:, col : col + mul] += acc.astype(msg_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# edge re-layout: dst-sorted, tile-aligned chunks
+# ---------------------------------------------------------------------------
+def _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):
+    """Returns (take_idx [E_pal], rel_dst [E_pal], chunk_tile [G], chunk_first [G]).
+
+    ``take_idx`` maps packed slots to original edge ids (== E for padding
+    slots).  Every node tile owns an integer number of BLOCK_E chunks (>= 1).
+    """
+    E = edge_dst.shape[0]
+    T = num_nodes // rows
+    order = jnp.argsort(edge_dst, stable=True)
+    dst_sorted = jnp.take(edge_dst, order)
+    tile_sorted = dst_sorted // rows
+
+    counts = jax.ops.segment_sum(jnp.ones_like(dst_sorted), tile_sorted, num_segments=T)
+    aligned = jnp.maximum(((counts + block_e - 1) // block_e) * block_e, block_e)
+    aligned_off = jnp.concatenate([jnp.zeros(1, aligned.dtype), jnp.cumsum(aligned)[:-1]])
+    tile_edge_off = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]])
+
+    # static upper bound on sum(aligned), rounded to a whole number of chunks
+    E_pal = ((E + T * block_e + block_e - 1) // block_e) * block_e
+    G = E_pal // block_e
+
+    idx = jnp.arange(E, dtype=jnp.int32)
+    pos_in_tile = idx - jnp.take(tile_edge_off, tile_sorted).astype(jnp.int32)
+    new_index = (jnp.take(aligned_off, tile_sorted) + pos_in_tile).astype(jnp.int32)
+
+    take_idx = jnp.full((E_pal,), E, dtype=jnp.int32)
+    take_idx = take_idx.at[new_index].set(order.astype(jnp.int32))
+
+    valid = take_idx < E
+    dst_lay = jnp.where(valid, jnp.take(edge_dst, jnp.minimum(take_idx, E - 1)), -1)
+
+    slot_tile = jnp.arange(E_pal, dtype=jnp.int32) // block_e
+    aligned_cum = jnp.cumsum(aligned)
+    chunk_tile = jnp.searchsorted(
+        aligned_cum, jnp.arange(G, dtype=aligned_cum.dtype) * block_e, side="right"
+    ).astype(jnp.int32)
+    chunk_tile = jnp.minimum(chunk_tile, T - 1)
+    chunk_start = jnp.arange(G, dtype=jnp.int32) * block_e
+    chunk_first = (
+        chunk_start == jnp.take(aligned_off, chunk_tile).astype(jnp.int32)
+    ).astype(jnp.int32)
+
+    rel_dst = jnp.where(valid, dst_lay - chunk_tile.repeat(block_e) * rows, -1)
+    return take_idx, rel_dst.astype(jnp.int32), chunk_tile, chunk_first, valid
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+def _kernel(plan: _TPPlan, rows, block_e, ct_ref, cf_ref, x_ref, y_ref, w_ref, rel_ref, out_ref, msg_ref):
+    g = pl.program_id(0)
+
+    @pl.when(cf_ref[g] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _compute_tp_block(plan, x_ref[:], y_ref[:], w_ref[:], msg_ref)
+    # one-hot scatter as an MXU matmul: S[e, r] = (rel_dst[e] == r), then
+    # out_tile += S^T @ msg (contraction over the edge dimension)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
+    out_ref[:] += jax.lax.dot_general(
+        S, msg_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=out_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _forward(
+    tp: TensorProduct,
+    x,
+    edge_attr,
+    edge_weight,
+    edge_dst,
+    edge_src,
+    edge_mask,
+    num_nodes: int,
+    rows: int = DEFAULT_ROWS,
+    block_e: int = DEFAULT_BLOCK_E,
+):
+    plan = _TPPlan(tp)
+    E = edge_dst.shape[0]
+    assert num_nodes % rows == 0, (
+        f"node capacity {num_nodes} must be a multiple of {rows} for the "
+        "fused kernel (set the loader pad_multiple accordingly)"
+    )
+
+    take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges(
+        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+    )
+    E_pal = take_idx.shape[0]
+    G = E_pal // block_e
+
+    safe_idx = jnp.minimum(take_idx, E - 1)
+    src_lay = jnp.take(edge_src, safe_idx)
+    x_lay = jnp.take(x, src_lay, axis=0)
+    y_lay = jnp.take(edge_attr, safe_idx, axis=0)
+    w_lay = jnp.take(edge_weight, safe_idx, axis=0)
+    wmask = valid
+    if edge_mask is not None:
+        wmask = wmask & jnp.take(edge_mask, safe_idx)
+    # zero radial weights kill every path's message for masked/padding slots
+    w_lay = jnp.where(wmask[:, None], w_lay, 0)
+    rel_2d = rel_dst.reshape(E_pal, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((block_e, plan.dim_in), lambda g, ct, cf: (g, 0)),
+            pl.BlockSpec((block_e, plan.sh_dim), lambda g, ct, cf: (g, 0)),
+            pl.BlockSpec((block_e, plan.weight_numel), lambda g, ct, cf: (g, 0)),
+            pl.BlockSpec((block_e, 1), lambda g, ct, cf: (g, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, plan.mid_dim), lambda g, ct, cf: (ct[g], 0)),
+        scratch_shapes=[pltpu.VMEM((block_e, plan.mid_dim), x.dtype)],
+    )
+    out = pl.pallas_call(
+        partial(_kernel, plan, rows, block_e),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_nodes, plan.mid_dim), x.dtype),
+        # interpret mode on CPU so the test suite exercises the same code path
+        interpret=(jax.default_backend() == "cpu"),
+    )(chunk_tile, chunk_first, x_lay, y_lay, w_lay, rel_2d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: kernel forward, XLA-reference backward
+# ---------------------------------------------------------------------------
+def _reference(tp, x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, num_nodes):
+    from ..scatter import scatter_sum
+
+    x_src = jnp.take(x, edge_src, axis=0)
+    messages = tp(x_src, edge_attr, edge_weight)
+    return scatter_sum(messages, edge_dst, num_segments=num_nodes, mask=edge_mask)
+
+
+# TensorProduct instances are not hashable by content; key on identity
+_TP_CACHE = {}
+
+
+def fused_tp_scatter(
+    tp: TensorProduct,
+    x,
+    edge_attr,
+    edge_weight,
+    edge_dst,
+    edge_src,
+    edge_mask,
+    num_nodes: int,
+    rows: int = DEFAULT_ROWS,
+    block_e: int = DEFAULT_BLOCK_E,
+):
+    key = (id(tp), num_nodes, rows, block_e, edge_mask is not None)
+    if key not in _TP_CACHE:
+        _TP_CACHE[key] = _make_fused_uncached(
+            tp, num_nodes, rows, block_e, edge_mask is not None
+        )
+    fn = _TP_CACHE[key]
+    if edge_mask is None:
+        edge_mask = jnp.ones_like(edge_dst, dtype=bool)
+    return fn(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask)
+
+
+def _make_fused_uncached(tp, num_nodes, rows, block_e, has_mask):
+    @jax.custom_vjp
+    def fused(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask):
+        return _forward(
+            tp, x, edge_attr, edge_weight, edge_dst, edge_src,
+            edge_mask if has_mask else None, num_nodes, rows, block_e,
+        )
+
+    def fwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask):
+        out = fused(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask)
+        return out, (x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask)
+
+    def bwd(res, g):
+        x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask = res
+        _, vjp = jax.vjp(
+            lambda a, b, c: _reference(
+                tp, a, b, c, edge_dst, edge_src,
+                edge_mask if has_mask else None, num_nodes,
+            ),
+            x, edge_attr, edge_weight,
+        )
+        dx, dy, dw = vjp(g)
+        return dx, dy, dw, None, None, None
+
+    fused.defvjp(fwd, bwd)
+    return fused
