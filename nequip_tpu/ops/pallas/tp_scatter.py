@@ -257,7 +257,120 @@ def _forward(
 
 
 # ---------------------------------------------------------------------------
-# custom VJP: kernel forward, XLA-reference backward
+# native backward kernel: consumes the output cotangent tile-by-tile,
+# producing per-edge cotangents without materializing [E, mid_dim] in HBM
+# ---------------------------------------------------------------------------
+def _bwd_kernel(
+    plan: _TPPlan, rows, block_e,
+    ct_ref, cf_ref, x_ref, y_ref, w_ref, rel_ref, g_ref,
+    dx_ref, dy_ref, dw_ref, ge_ref,
+):
+    # g_e[e] = g[dst[e]] via the same one-hot matmul, S [block_e, rows]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(g_ref.dtype)
+    ge_ref[:] = jnp.dot(
+        S, g_ref[:],
+        preferred_element_type=g_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    x = x_ref[:]
+    y = y_ref[:]
+    w = w_ref[:]
+
+    dx_ref[:] = jnp.zeros_like(dx_ref)
+    dy_ref[:] = jnp.zeros_like(dy_ref)
+    dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    for p in plan.paths:
+        mul = p["mul"]
+        wp = w[:, p["w_sl"]]
+        by_m3 = {}
+        for m1, m2, m3, c in p["terms"]:
+            by_m3.setdefault(m3, []).append((m1, m2, c))
+        dw_acc = None
+        for m3, terms in by_m3.items():
+            col = p["out_off"] + m3 * mul
+            gcol = ge_ref[:, col : col + mul]
+            for m1, m2, c in terms:
+                xo = p["x_off"] + m1 * mul
+                xcol = x[:, xo : xo + mul]
+                yv = y[:, p["y_off"] + m2 : p["y_off"] + m2 + 1]
+                # d_w += c * y * x * g   (per-channel)
+                t_w = (c * yv) * (xcol * gcol)
+                dw_acc = t_w if dw_acc is None else dw_acc + t_w
+                # d_y += c * sum_u (w * x * g)
+                dy_ref[:, p["y_off"] + m2 : p["y_off"] + m2 + 1] += c * jnp.sum(
+                    wp * xcol * gcol, axis=1, keepdims=True
+                )
+                # d_x += c * y * w * g
+                dx_ref[:, xo : xo + mul] += (c * yv) * (wp * gcol)
+        dw_ref[:, p["w_sl"]] += dw_acc
+
+
+def _backward_kernel_call(
+    tp, plan, x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask,
+    num_nodes, rows, block_e, g,
+):
+    take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges(
+        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+    )
+    E = edge_dst.shape[0]
+    E_pal = take_idx.shape[0]
+    G = E_pal // block_e
+
+    safe_idx = jnp.minimum(take_idx, E - 1)
+    src_lay = jnp.take(edge_src, safe_idx)
+    x_lay = jnp.take(x, src_lay, axis=0)
+    y_lay = jnp.take(edge_attr, safe_idx, axis=0)
+    w_lay = jnp.take(edge_weight, safe_idx, axis=0)
+    wmask = valid
+    if edge_mask is not None:
+        wmask = wmask & jnp.take(edge_mask, safe_idx)
+    w_lay = jnp.where(wmask[:, None], w_lay, 0)
+    rel_2d = rel_dst.reshape(E_pal, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((block_e, plan.dim_in), lambda g_, ct, cf: (g_, 0)),
+            pl.BlockSpec((block_e, plan.sh_dim), lambda g_, ct, cf: (g_, 0)),
+            pl.BlockSpec((block_e, plan.weight_numel), lambda g_, ct, cf: (g_, 0)),
+            pl.BlockSpec((block_e, 1), lambda g_, ct, cf: (g_, 0)),
+            pl.BlockSpec((rows, plan.mid_dim), lambda g_, ct, cf: (ct[g_], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_e, plan.dim_in), lambda g_, ct, cf: (g_, 0)),
+            pl.BlockSpec((block_e, plan.sh_dim), lambda g_, ct, cf: (g_, 0)),
+            pl.BlockSpec((block_e, plan.weight_numel), lambda g_, ct, cf: (g_, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_e, plan.mid_dim), x.dtype)],
+    )
+    dx_lay, dy_lay, dw_lay = pl.pallas_call(
+        partial(_bwd_kernel, plan, rows, block_e),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E_pal, plan.dim_in), x.dtype),
+            jax.ShapeDtypeStruct((E_pal, plan.sh_dim), x.dtype),
+            jax.ShapeDtypeStruct((E_pal, plan.weight_numel), x.dtype),
+        ],
+        interpret=(jax.default_backend() == "cpu"),
+    )(chunk_tile, chunk_first, x_lay, y_lay, w_lay, rel_2d, g)
+
+    # dx: scatter back over source nodes (masked slots contribute zero since
+    # their radial weights were zeroed)
+    dx = jax.ops.segment_sum(dx_lay, src_lay, num_segments=num_nodes)
+    # dy/dw: map layout slots back to the original edge order; padding slots
+    # (take_idx == E) are dropped
+    dy = jnp.zeros_like(edge_attr).at[take_idx].set(dy_lay, mode="drop")
+    dw_masked = jnp.where(wmask[:, None], dw_lay, 0)
+    dw = jnp.zeros_like(edge_weight).at[take_idx].set(dw_masked, mode="drop")
+    return dx, dy, dw
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: kernel forward, kernel backward (XLA reference as fallback)
 # ---------------------------------------------------------------------------
 def _reference(tp, x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, num_nodes):
     from ..scatter import scatter_sum
@@ -308,14 +421,11 @@ def _make_fused_uncached(tp, num_nodes, rows, block_e, has_mask):
 
     def bwd(res, g):
         x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask = res
-        _, vjp = jax.vjp(
-            lambda a, b, c: _reference(
-                tp, a, b, c, edge_dst, edge_src,
-                edge_mask if has_mask else None, num_nodes,
-            ),
-            x, edge_attr, edge_weight,
+        plan = _TPPlan(tp)
+        dx, dy, dw = _backward_kernel_call(
+            tp, plan, x, edge_attr, edge_weight, edge_dst, edge_src,
+            edge_mask if has_mask else None, num_nodes, rows, block_e, g,
         )
-        dx, dy, dw = vjp(g)
         return dx, dy, dw, None, None, None
 
     fused.defvjp(fwd, bwd)
