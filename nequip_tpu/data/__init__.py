@@ -29,6 +29,7 @@ from .stats_manager import (
     EnergyOnlyDataStatisticsManager,
 )
 from .datamodule import NequIPDataModule, ASEDataModule
+from ._sampler import PartialSampler
 
 __all__ = [
     "_keys",
@@ -62,4 +63,5 @@ __all__ = [
     "EnergyOnlyDataStatisticsManager",
     "NequIPDataModule",
     "ASEDataModule",
+    "PartialSampler",
 ]

@@ -1,4 +1,17 @@
 from .base import NequIPDataModule
 from .ase import ASEDataModule
+from .named import (
+    NPZSplitDataModule,
+    sGDML_CCSD_DataModule,
+    rMD17DataModule,
+    MD22DataModule,
+)
 
-__all__ = ["NequIPDataModule", "ASEDataModule"]
+__all__ = [
+    "NequIPDataModule",
+    "ASEDataModule",
+    "NPZSplitDataModule",
+    "sGDML_CCSD_DataModule",
+    "rMD17DataModule",
+    "MD22DataModule",
+]

@@ -1,6 +1,14 @@
 from .nequip_models import NequIPGNNModel, FullNequIPGNNModel, PresetNequIPGNNModel
 from .utils import model_builder
 from .pair_potential import ZBLPairPotential
+from .saved_models import (
+    ModelFromCheckpoint,
+    ModelFromPackage,
+    load_saved_model,
+    data_dict_from_checkpoint,
+)
+from .modify_utils import modify
+from .inference_models import load_compiled_model, save_compiled_model, CompiledModel
 
 __all__ = [
     "NequIPGNNModel",
@@ -8,4 +16,12 @@ __all__ = [
     "PresetNequIPGNNModel",
     "model_builder",
     "ZBLPairPotential",
+    "ModelFromCheckpoint",
+    "ModelFromPackage",
+    "load_saved_model",
+    "data_dict_from_checkpoint",
+    "modify",
+    "load_compiled_model",
+    "save_compiled_model",
+    "CompiledModel",
 ]

@@ -1,0 +1,148 @@
+"""Apply named model modifiers from config/CLI.
+
+Parity: ``/root/reference/nequip/model/modify_utils.py`` — modifiers are
+registered via ``@model_modifier`` (``nn/model_modifier_utils.py``) and
+applied by name.  In the functional design a modifier takes and returns
+``(model, params)`` so architecture swaps can re-map parameters explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from ..nn.model_modifier_utils import get_all_modifiers, is_persistent_modifier
+
+
+def modify(model, params, modifiers: List[Dict], persistent_only: bool = False):
+    """``modifiers``: list of {"modifier": name, **kwargs}."""
+    registry = get_all_modifiers()
+    for spec in modifiers:
+        spec = dict(spec)
+        name = spec.pop("modifier")
+        assert name in registry, (
+            f"unknown modifier {name!r}; available: {sorted(registry)}"
+        )
+        if persistent_only and not is_persistent_modifier(name):
+            continue
+        model, params = registry[name](model, params, **spec)
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+# built-in modifiers
+# ---------------------------------------------------------------------------
+from ..nn.model_modifier_utils import model_modifier
+
+
+@model_modifier(persistent=False)
+def enable_TPUFusedTPScatter(model, params):
+    """Switch every TensorProductScatter to the fused Pallas kernel.
+
+    TPU-native analog of the reference's ``enable_OpenEquivariance``
+    (``nn/_tp_scatter_base.py:40-77``).  Parameters are unchanged.
+    """
+    from ..nn.tp_scatter import TensorProductScatter
+    from ..nn.module import replace_submodules
+
+    def visit(m):
+        if isinstance(m, TensorProductScatter):
+            m.impl = "pallas"
+        for v in vars(m).values():
+            if hasattr(v, "irreps_in"):
+                visit(v)
+        if hasattr(m, "module_dict"):
+            for v in m.module_dict.values():
+                visit(v)
+        return m
+
+    visit(model)
+    return model, params
+
+
+@model_modifier(persistent=False)
+def disable_TPUFusedTPScatter(model, params):
+    from ..nn.tp_scatter import TensorProductScatter
+
+    def visit(m):
+        if isinstance(m, TensorProductScatter):
+            m.impl = "xla"
+        for v in vars(m).values():
+            if hasattr(v, "irreps_in"):
+                visit(v)
+        if hasattr(m, "module_dict"):
+            for v in m.module_dict.values():
+                visit(v)
+        return m
+
+    visit(model)
+    return model, params
+
+
+@model_modifier(persistent=True)
+def modify_PerTypeScaleShift(
+    model,
+    params,
+    scales=None,
+    shifts=None,
+    scales_trainable: bool = False,
+    shifts_trainable: bool = False,
+):
+    """Replace per-type energy scales/shifts (fine-tuning).
+
+    Parity: ``PerTypeScaleShift.modify_PerTypeScaleShift``
+    (``nn/atomwise.py:286-353``): new values are dicts over (a subset of)
+    the model's type names; unspecified types keep the original values.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..nn.atomwise import PerTypeScaleShift
+
+    def find(m, path=()):
+        if isinstance(m, PerTypeScaleShift):
+            yield path, m
+        if hasattr(m, "module_dict"):
+            for name, v in m.module_dict.items():
+                yield from find(v, path + (name,))
+        for attr in ("model", "func"):
+            if hasattr(m, attr) and hasattr(getattr(m, attr), "irreps_in"):
+                yield from find(getattr(m, attr), path)
+
+    found = list(find(model))
+    assert found, "model has no PerTypeScaleShift module"
+
+    def params_at(params, path):
+        node = params
+        for p in path:
+            node = node[p]
+        return node
+
+    for path, mod in found:
+        node = params_at(params, path)
+
+        def update(kind, new_vals, trainable):
+            cur = np.asarray(node[kind]).reshape(-1) if kind in node else None
+            if cur is not None and cur.size == 1:
+                cur = np.full(mod.num_types, cur[0])
+            if new_vals is not None:
+                if isinstance(new_vals, (int, float)):
+                    new_vals = {t: float(new_vals) for t in mod.type_names}
+                assert all(k in mod.type_names for k in new_vals), (
+                    f"unknown type names in {kind}: {sorted(new_vals)}"
+                )
+                if cur is None:
+                    cur = np.zeros(mod.num_types)
+                for t, v in new_vals.items():
+                    cur[mod.type_names.index(t)] = float(v)
+            if cur is not None:
+                node[kind] = jnp.asarray(cur.reshape(-1, 1))
+
+        update("scales", scales, scales_trainable)
+        update("shifts", shifts, shifts_trainable)
+        if scales is not None:
+            mod.has_scales = True
+            mod.scales_trainable = scales_trainable
+        if shifts is not None:
+            mod.has_shifts = True
+            mod.shifts_trainable = shifts_trainable
+    return model, params

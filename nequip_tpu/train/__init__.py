@@ -13,6 +13,14 @@ from .training_module import (
     EMALightningModule,
 )
 from .trainer import Trainer
+from .muon import muon, muon_adam, zeropower_via_newtonschulz5
+from .schedulefree import ScheduleFreeTrainModule, ScheduleFreeLightningModule
+from .config_module import (
+    ConFIGTrainModule,
+    EMAConFIGTrainModule,
+    ConFIGLightningModule,
+    EMAConFIGLightningModule,
+)
 from .checkpoint import save_checkpoint, load_checkpoint, state_from_payload
 from .ema import ema_update
 from . import callbacks
@@ -29,6 +37,15 @@ __all__ = [
     "NequIPLightningModule",
     "EMALightningModule",
     "Trainer",
+    "muon",
+    "muon_adam",
+    "zeropower_via_newtonschulz5",
+    "ScheduleFreeTrainModule",
+    "ScheduleFreeLightningModule",
+    "ConFIGTrainModule",
+    "EMAConFIGTrainModule",
+    "ConFIGLightningModule",
+    "EMAConFIGLightningModule",
     "save_checkpoint",
     "load_checkpoint",
     "state_from_payload",

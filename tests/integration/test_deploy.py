@@ -1,0 +1,159 @@
+"""Deployment-pipeline gates: checkpoint -> compile -> calculator -> MD,
+and checkpoint -> package -> reload parity.
+
+Ports of the reference's compile/package integration coverage
+(``tests/integration/test_package_commands.py``, the AOTI self-check in
+``utils/aot.py:89-103``, and the ASE-calculator path).
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+import yaml
+
+from nequip_tpu.data import _keys
+from nequip_tpu.scripts.train import run_config
+
+CONFIG_PATH = os.path.join(os.path.dirname(__file__), "lj_config.yaml")
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    tmpdir = tmp_path_factory.mktemp("deploy")
+    with open(CONFIG_PATH) as f:
+        cfg = yaml.safe_load(f)
+    cfg["trainer"]["ckpt_dir"] = str(tmpdir / "ckpt")
+    cfg["trainer"]["max_epochs"] = 1
+    run_config(cfg)
+    return os.path.join(str(tmpdir / "ckpt"), "last.ckpt"), tmpdir
+
+
+def test_model_from_checkpoint(ckpt):
+    from nequip_tpu.model import ModelFromCheckpoint
+
+    path, _ = ckpt
+    model, params = ModelFromCheckpoint(path)
+    assert model.metadata["type_names"] == "Cu"
+    assert float(model.metadata["r_max"]) == 4.0
+    n_leaves = len(jax.tree.leaves(params))
+    assert n_leaves > 5
+
+
+def test_compile_and_calculator(ckpt):
+    from nequip_tpu.scripts.compile import main as compile_main
+    from nequip_tpu.integrations import NequIPCalculator
+    from nequip_tpu.data.dataset import LJTestDataset
+
+    path, tmpdir = ckpt
+    artifact = str(tmpdir / "model.nequip_tpu.zip")
+    compile_main([path, artifact, "--target", "ase"])
+    assert os.path.exists(artifact)
+
+    calc = NequIPCalculator.from_compiled_model(artifact, chemical_symbols=["Cu"])
+    ds = LJTestDataset(num_frames=1, seed=77)
+    frame = {
+        k: v
+        for k, v in ds.frames[0].items()
+        if k in (_keys.POSITIONS_KEY, _keys.ATOMIC_NUMBERS_KEY, _keys.CELL_KEY, _keys.PBC_KEY)
+    }
+    results = calc.calculate(frame)
+    assert np.isfinite(results["energy"])
+    assert results["forces"].shape == (32, 3)
+    assert results["stress"].shape == (3, 3)
+    # compiled artifact agrees with the eager model through the calculator
+    calc_eager = NequIPCalculator.from_saved_model(
+        path, chemical_symbols=["Cu"], capacities=calc.capacities
+    )
+    results_e = calc_eager.calculate(frame)
+    np.testing.assert_allclose(results["energy"], results_e["energy"], rtol=1e-10)
+    np.testing.assert_allclose(results["forces"], results_e["forces"], atol=1e-10)
+
+
+def test_package_roundtrip(ckpt):
+    from nequip_tpu.scripts.package import main as package_main
+    from nequip_tpu.model import ModelFromCheckpoint, ModelFromPackage
+
+    path, tmpdir = ckpt
+    pkg = str(tmpdir / "model_pkg.zip")
+    package_main(["build", path, pkg])
+    assert os.path.exists(pkg)
+    package_main(["info", pkg])
+
+    m1, p1 = ModelFromCheckpoint(path)
+    m2, p2 = ModelFromPackage(pkg)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    assert m1.metadata == m2.metadata
+
+
+def test_md_driver(ckpt):
+    from nequip_tpu.model import ModelFromCheckpoint
+    from nequip_tpu.integrations import MDDriver, NoseHoover, VelocityVerlet
+    from nequip_tpu.data.dataset import LJTestDataset
+
+    path, _ = ckpt
+    model, params = ModelFromCheckpoint(path)
+    ds = LJTestDataset(num_frames=1, seed=88)
+    frame = {
+        _keys.POSITIONS_KEY: ds.frames[0][_keys.POSITIONS_KEY],
+        _keys.CELL_KEY: ds.frames[0][_keys.CELL_KEY],
+        _keys.PBC_KEY: np.array([True] * 3),
+        _keys.ATOM_TYPE_KEY: np.zeros(32, dtype=int),
+    }
+    driver = MDDriver(
+        model,
+        params,
+        frame,
+        integrator=NoseHoover(dt_fs=1.0, temperature_K=300.0),
+        masses=np.full(32, 63.5),
+        steps_per_block=5,
+    )
+    out = driver.run(10)
+    assert np.all(np.isfinite(out["positions"]))
+    assert np.all(np.isfinite(out["forces"]))
+    # thermostat injects kinetic energy starting from zero velocities
+    assert out["kinetic_energy"] > 0
+    assert not np.allclose(out["positions"], frame[_keys.POSITIONS_KEY])
+
+
+def test_modify_per_type_scale_shift(ckpt):
+    from nequip_tpu.model import ModelFromCheckpoint, modify
+    from nequip_tpu.data.dataset import LJTestDataset
+    from nequip_tpu.data import compute_neighborlist_, batched_from_list, pad_batch, to_device
+    from nequip_tpu.data.transforms import ChemicalSpeciesToAtomTypeMapper
+
+    path, _ = ckpt
+    model, params = ModelFromCheckpoint(path)
+    ds = LJTestDataset(
+        num_frames=1, seed=99, transforms=[ChemicalSpeciesToAtomTypeMapper(["Cu"])]
+    )
+    data = to_device(
+        pad_batch(
+            batched_from_list([compute_neighborlist_(ds[0], 4.0)]), 128, 1024, 2
+        )
+    )
+    fwd = jax.jit(lambda p, d: model(p, d)[_keys.TOTAL_ENERGY_KEY])
+    e0 = float(fwd(params, data)[0, 0])
+
+    # locate the current Cu shift so we can predict the exact energy change
+    def find_shift(tree):
+        for k, v in tree.items():
+            if k == "per_type_energy_scale_shift":
+                return float(np.asarray(v["shifts"]).reshape(-1)[0])
+            if isinstance(v, dict):
+                r = find_shift(v)
+                if r is not None:
+                    return r
+        return None
+
+    old_shift = find_shift(params)
+    assert old_shift is not None
+
+    model, params = modify(
+        model, params, [{"modifier": "modify_PerTypeScaleShift", "shifts": {"Cu": 10.0}}]
+    )
+    e1 = float(fwd(params, data)[0, 0])
+    # the shift is REPLACED: 32 atoms x (10 - old_shift)
+    np.testing.assert_allclose(e1 - e0, 32 * (10.0 - old_shift), rtol=1e-9)
