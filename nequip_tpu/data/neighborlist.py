@@ -37,9 +37,17 @@ def neighbor_list(
     r_max: float,
     cell: Optional[np.ndarray] = None,
     pbc=(False, False, False),
-    backend: str = "kdtree",
+    backend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Compute (edge_index (2, E) int, edge_cell_shift (E, 3) float)."""
+    """Compute (edge_index (2, E) int, edge_cell_shift (E, 3) float).
+
+    backend="auto" prefers the native C++ cell list (built on first use) and
+    falls back to the scipy kdtree backend.
+    """
+    if backend == "auto":
+        from ._cpp_nl import get_lib
+
+        backend = "cpp" if get_lib() is not None else "kdtree"
     fn = _NL_BACKENDS[backend]
     return fn(pos=np.asarray(pos, dtype=np.float64), r_max=float(r_max), cell=cell, pbc=pbc)
 
@@ -115,10 +123,19 @@ def _kdtree_nl(
 register_neighborlist_backend("kdtree", _kdtree_nl)
 
 
+def _cpp_nl(pos, r_max, cell, pbc):
+    from ._cpp_nl import cpp_cell_list_nl
+
+    return cpp_cell_list_nl(pos, r_max, cell, pbc)
+
+
+register_neighborlist_backend("cpp", _cpp_nl)
+
+
 def compute_neighborlist_(
     data: dict,
     r_max: float,
-    backend: str = "kdtree",
+    backend: str = "auto",
 ) -> dict:
     """In-place NL construction on an AtomicDataDict-style host dict.
 

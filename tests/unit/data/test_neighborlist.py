@@ -90,3 +90,43 @@ def test_small_cell_multiple_images():
 def test_isolated_atom():
     ei, sh = neighbor_list(np.zeros((1, 3)), 3.0)
     assert ei.shape == (2, 0)
+
+
+# ---------------------------------------------------------------------------
+# native C++ backend parity (vs brute force, same cases as the kdtree tests)
+# ---------------------------------------------------------------------------
+import pytest
+
+
+def _cpp_available():
+    from nequip_tpu.data._cpp_nl import get_lib
+
+    return get_lib() is not None
+
+
+@pytest.mark.skipif(not _cpp_available(), reason="no C++ toolchain")
+@pytest.mark.parametrize(
+    "case",
+    ["open", "ortho", "triclinic", "mixed", "small_cell"],
+)
+def test_cpp_backend_parity(case):
+    r = np.random.RandomState(42)
+    if case == "open":
+        pos, cell, pbc = r.uniform(0, 10, (40, 3)), None, (False,) * 3
+        cut = 3.0
+    elif case == "ortho":
+        cell = np.diag([6.0, 7.0, 8.0])
+        pos, pbc, cut = r.uniform(0, 6, (30, 3)), (True,) * 3, 3.5
+    elif case == "triclinic":
+        cell = np.array([[6.0, 0, 0], [2.0, 6.0, 0], [1.0, -1.5, 7.0]])
+        pos = r.uniform(0, 1, (25, 3)) @ cell
+        pbc, cut = (True,) * 3, 3.0
+    elif case == "mixed":
+        cell = np.diag([5.0, 5.0, 20.0])
+        pos, pbc, cut = r.uniform(0, 5, (20, 3)), (True, True, False), 3.0
+    else:  # small_cell: multiple periodic images
+        cell = np.diag([2.0, 2.0, 2.0])
+        pos = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+        pbc, cut = (True,) * 3, 4.0
+    ei, sh = neighbor_list(pos, cut, cell=cell, pbc=pbc, backend="cpp")
+    assert to_set(ei, sh) == brute_force_nl(pos, cut, cell, pbc)
