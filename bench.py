@@ -31,9 +31,13 @@ def main():
 
     from __graft_entry__ import _example_model_and_batch
 
-    tp_impl = os.environ.get("NEQUIP_BENCH_TP_IMPL", "pallas")
+    # auto: v1 fused kernel (materialized radial weights) is fastest when it
+    # fits; the fully-fused variant (radial MLP in-kernel) unlocks 100k+ atoms
+    default_impl = "pallas" if n_atoms <= 50000 else "pallas_fused"
+    tp_impl = os.environ.get("NEQUIP_BENCH_TP_IMPL", default_impl)
+    remat = os.environ.get("NEQUIP_BENCH_REMAT", "0") == "1"
     model, params, data = _example_model_and_batch(
-        model_dtype=dtype, n_atoms=n_atoms, l_max=2, tp_impl=tp_impl
+        model_dtype=dtype, n_atoms=n_atoms, l_max=2, tp_impl=tp_impl, remat=remat
     )
     from nequip_tpu.data import _keys as _k
 

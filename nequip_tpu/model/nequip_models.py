@@ -152,6 +152,7 @@ def FullNequIPGNNModel(
     convnet_nonlinearity_scalars: Dict[str, str] = {"e": "silu", "o": "tanh"},
     convnet_nonlinearity_gates: Dict[str, str] = {"e": "silu", "o": "tanh"},
     tp_impl: str = "xla",
+    remat_conv: bool = False,
 ) -> GraphModel:
     """Fully-explicit NequIP GNN builder (one config entry per layer)."""
     type_names = list(type_names)
@@ -225,6 +226,7 @@ def FullNequIPGNNModel(
             resnet=convnet_resnet
             if learnable_shift
             else (layer_i != 0) and convnet_resnet,
+            remat=remat_conv,
             nonlinearity_type=convnet_nonlinearity_type,
             nonlinearity_scalars=convnet_nonlinearity_scalars,
             nonlinearity_gates=convnet_nonlinearity_gates,

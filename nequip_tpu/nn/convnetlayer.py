@@ -24,12 +24,14 @@ class ConvNetLayer(GraphModule):
         convolution=InteractionBlock,
         convolution_kwargs: Optional[Dict[str, Any]] = None,
         resnet: bool = False,
+        remat: bool = False,
         nonlinearity_type: str = "gate",
         nonlinearity_scalars: Dict[str, str] = {"e": "silu", "o": "tanh"},
         nonlinearity_gates: Dict[str, str] = {"e": "silu", "o": "tanh"},
     ):
         super().__init__()
         assert nonlinearity_type in ("gate", "norm")
+        self.remat = bool(remat)
         nl_scalars = {1: nonlinearity_scalars["e"], -1: nonlinearity_scalars["o"]}
         nl_gates = {1: nonlinearity_gates["e"], -1: nonlinearity_gates["o"]}
         convolution_kwargs = dict(convolution_kwargs or {})
@@ -95,7 +97,7 @@ class ConvNetLayer(GraphModule):
     def init(self, rng) -> Params:
         return {"conv": self.conv.init(rng)}
 
-    def __call__(self, params: Params, data: dict) -> dict:
+    def _apply(self, params: Params, data: dict) -> dict:
         old_x = data[_keys.NODE_FEATURES_KEY]
         data = self.conv(params["conv"], data)
         x = self.equivariant_nonlin(data[_keys.NODE_FEATURES_KEY])
@@ -103,6 +105,15 @@ class ConvNetLayer(GraphModule):
             x = old_x + x
         data[_keys.NODE_FEATURES_KEY] = x
         return data
+
+    def __call__(self, params: Params, data: dict) -> dict:
+        if self.remat:
+            # rematerialize the whole conv layer in the backward pass:
+            # trades recompute for HBM (needed for 100k+ atom force calls)
+            import jax
+
+            return jax.checkpoint(self._apply)(params, data)
+        return self._apply(params, data)
 
     def __repr__(self):
         return (

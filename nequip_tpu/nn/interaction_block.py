@@ -161,16 +161,41 @@ class InteractionBlock(GraphModule):
             data = self.ghost_exchange({}, data)
         x = data[_keys.NODE_FEATURES_KEY]
 
-        edge_weight = self.edge_mlp(params["edge_mlp"], data[_keys.EDGE_EMBEDDING_KEY])
-        x = self.tp_scatter.forward_tp_scatter(
-            x=x,
-            edge_attr=data[_keys.EDGE_ATTRS_KEY],
-            edge_weight=edge_weight,
-            edge_dst=data[_keys.EDGE_INDEX_KEY][0],
-            edge_src=data[_keys.EDGE_INDEX_KEY][1],
-            edge_mask=data.get(_keys.EDGE_MASK_KEY),
-            num_nodes=num_nodes,
+        use_fully_fused = (
+            self.tp_scatter.impl == "pallas_fused"
+            and self.edge_mlp.num_layers == 2
+            and not self.edge_mlp.bias
+            and self.edge_mlp.nonlinearity == "silu"
         )
+        if use_fully_fused:
+            # radial MLP fused into the kernel: the [E, weight_numel] radial
+            # weights never materialize in HBM
+            from ..ops.pallas.tp_scatter import fused_tp_scatter_mlp
+
+            mlp_p = {k: v.astype(x.dtype) for k, v in params["edge_mlp"].items()}
+            x = fused_tp_scatter_mlp(
+                self.tp_scatter.tp,
+                self.edge_mlp,
+                x,
+                data[_keys.EDGE_ATTRS_KEY],
+                data[_keys.EDGE_EMBEDDING_KEY],
+                mlp_p,
+                data[_keys.EDGE_INDEX_KEY][0],
+                data[_keys.EDGE_INDEX_KEY][1],
+                data.get(_keys.EDGE_MASK_KEY),
+                num_nodes,
+            )
+        else:
+            edge_weight = self.edge_mlp(params["edge_mlp"], data[_keys.EDGE_EMBEDDING_KEY])
+            x = self.tp_scatter.forward_tp_scatter(
+                x=x,
+                edge_attr=data[_keys.EDGE_ATTRS_KEY],
+                edge_weight=edge_weight,
+                edge_dst=data[_keys.EDGE_INDEX_KEY][0],
+                edge_src=data[_keys.EDGE_INDEX_KEY][1],
+                edge_mask=data.get(_keys.EDGE_MASK_KEY),
+                num_nodes=num_nodes,
+            )
 
         x = self.linear_2(params["linear_2"], self._merge_mid(x))
 

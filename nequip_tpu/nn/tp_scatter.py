@@ -65,7 +65,7 @@ class TensorProductScatter(GraphModule):
         edge_mask: Optional[jnp.ndarray],  # (E,) bool or None
         num_nodes: int,
     ) -> jnp.ndarray:
-        if self.impl == "pallas":
+        if self.impl in ("pallas", "pallas_fused"):
             from ..ops.pallas.tp_scatter import fused_tp_scatter
 
             return fused_tp_scatter(

@@ -380,6 +380,285 @@ def _reference(tp, x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, num
     return scatter_sum(messages, edge_dst, num_segments=num_nodes, mask=edge_mask)
 
 
+# ---------------------------------------------------------------------------
+# kernel v2: radial MLP fused into the kernel — the [E, weight_numel] radial
+# weights never exist in HBM (the big memory/bandwidth cost at 100k+ atoms)
+# ---------------------------------------------------------------------------
+def _fwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
+                    ct_ref, cf_ref, x_ref, y_ref, emb_ref, rel_ref,
+                    w1_ref, w2_ref, out_ref, msg_ref, w_ref):
+    g = pl.program_id(0)
+
+    @pl.when(cf_ref[g] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # radial MLP in VMEM: [B, n_emb] @ [n_emb, H] -> silu -> @ [H, WN]
+    h = jnp.dot(emb_ref[:], w1_ref[:] * alpha0,
+                preferred_element_type=out_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    h = jax.nn.silu(h)
+    w_ref[:] = jnp.dot(h, w2_ref[:] * alpha1,
+                       preferred_element_type=out_ref.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    _compute_tp_block(plan, x_ref[:], y_ref[:], w_ref[:], msg_ref)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
+    out_ref[:] += jax.lax.dot_general(
+        S, msg_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=out_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw):
+    """Shared CG-VJP: writes dx/dy refs, returns d_w [B, WN] (dense)."""
+    dx_ref[:] = jnp.zeros_like(dx_ref)
+    dy_ref[:] = jnp.zeros_like(dy_ref)
+    dw_cols = {}
+    for p in plan.paths:
+        mul = p["mul"]
+        wp = w[:, p["w_sl"]]
+        by_m3 = {}
+        for m1, m2, m3, c in p["terms"]:
+            by_m3.setdefault(m3, []).append((m1, m2, c))
+        dw_acc = None
+        for m3, terms in by_m3.items():
+            col = p["out_off"] + m3 * mul
+            gcol = ge[:, col : col + mul]
+            for m1, m2, c in terms:
+                xo = p["x_off"] + m1 * mul
+                xcol = x[:, xo : xo + mul]
+                yv = y[:, p["y_off"] + m2 : p["y_off"] + m2 + 1]
+                t_w = (c * yv) * (xcol * gcol)
+                dw_acc = t_w if dw_acc is None else dw_acc + t_w
+                dy_ref[:, p["y_off"] + m2 : p["y_off"] + m2 + 1] += c * jnp.sum(
+                    wp * xcol * gcol, axis=1, keepdims=True
+                )
+                dx_ref[:, xo : xo + mul] += (c * yv) * (wp * gcol)
+        dw_cols[p["w_sl"].start] = (p["w_sl"], dw_acc)
+    pieces = []
+    pos_ = 0
+    for start in sorted(dw_cols):
+        sl, acc = dw_cols[start]
+        if sl.start > pos_:
+            pieces.append(jnp.zeros((x.shape[0], sl.start - pos_), dtype=x.dtype))
+        pieces.append(acc)
+        pos_ = sl.stop
+    if pos_ < plan.weight_numel:
+        pieces.append(jnp.zeros((x.shape[0], plan.weight_numel - pos_), dtype=x.dtype))
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _bwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
+                    ct_ref, cf_ref, x_ref, y_ref, emb_ref, rel_ref, mask_ref,
+                    w1_ref, w2_ref, g_ref,
+                    dx_ref, dy_ref, demb_ref, dw1_ref, dw2_ref,
+                    ge_ref):
+    g = pl.program_id(0)
+    f32 = jax.lax.Precision.HIGHEST
+
+    @pl.when(g == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+
+    # gather cotangent rows: g_e = S @ g_tile
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(g_ref.dtype)
+    ge_ref[:] = jnp.dot(S, g_ref[:], preferred_element_type=g_ref.dtype, precision=f32)
+
+    # recompute radial MLP
+    w1a = w1_ref[:] * alpha0
+    w2a = w2_ref[:] * alpha1
+    emb = emb_ref[:]
+    h_pre = jnp.dot(emb, w1a, preferred_element_type=emb.dtype, precision=f32)
+    sig = jax.nn.sigmoid(h_pre)
+    h = h_pre * sig
+    w = jnp.dot(h, w2a, preferred_element_type=emb.dtype, precision=f32)
+
+    dw = _compute_tp_bwd_block(plan, x_ref[:], y_ref[:], w, ge_ref[:], dx_ref, dy_ref, None)
+    dw = dw * mask_ref[:]  # kill cotangents of masked/padding slots
+
+    # MLP VJP (accumulated across chunks in the resident dw1/dw2 blocks)
+    dh = jnp.dot(dw, w2a.T, preferred_element_type=emb.dtype, precision=f32)
+    dh_pre = dh * (sig * (1.0 + h_pre * (1.0 - sig)))
+    demb_ref[:] = jnp.dot(dh_pre, w1a.T, preferred_element_type=emb.dtype, precision=f32)
+    dw2_ref[:] += alpha1 * jax.lax.dot_general(
+        h, dw, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=emb.dtype, precision=f32,
+    )
+    dw1_ref[:] += alpha0 * jax.lax.dot_general(
+        emb, dh_pre, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=emb.dtype, precision=f32,
+    )
+
+
+def _layout_and_gather(tp_plan, x, edge_attr, edge_dst, edge_src, edge_mask,
+                       num_nodes, rows, block_e):
+    take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges(
+        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+    )
+    E = edge_dst.shape[0]
+    E_pal = take_idx.shape[0]
+    safe_idx = jnp.minimum(take_idx, E - 1)
+    src_lay = jnp.take(edge_src, safe_idx)
+    x_lay = jnp.take(x, src_lay, axis=0)
+    y_lay = jnp.take(edge_attr, safe_idx, axis=0)
+    wmask = valid
+    if edge_mask is not None:
+        wmask = wmask & jnp.take(edge_mask, safe_idx)
+    return take_idx, safe_idx, src_lay, x_lay, y_lay, wmask, rel_dst, chunk_tile, chunk_first
+
+
+def fused_tp_scatter_mlp(
+    tp: TensorProduct,
+    mlp,  # ops.mlp.ScalarMLP spec with dims [n_emb, H, WN], silu, no bias
+    x,
+    edge_attr,
+    edge_embed,
+    mlp_params: dict,
+    edge_dst,
+    edge_src,
+    edge_mask,
+    num_nodes: int,
+    rows: int = DEFAULT_ROWS,
+    block_e: int = DEFAULT_BLOCK_E,
+):
+    """Fully-fused conv: gather -> radial MLP -> CG TP -> scatter.
+
+    The radial weights exist only chunk-at-a-time in VMEM.  Supports the
+    standard depth-1 silu radial MLP (``interaction_block.py:119-127``).
+    """
+    key = ("mlp", id(tp), id(mlp), num_nodes, rows, block_e, edge_mask is not None)
+    if key not in _TP_CACHE:
+        _TP_CACHE[key] = _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, edge_mask is not None)
+    if edge_mask is None:
+        edge_mask = jnp.ones_like(edge_dst, dtype=bool)
+    return _TP_CACHE[key](
+        x, edge_attr, edge_embed, mlp_params["w0"], mlp_params["w1"],
+        edge_dst, edge_src, edge_mask,
+    )
+
+
+def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
+    plan = _TPPlan(tp)
+    assert mlp.num_layers == 2 and not mlp.bias and mlp.nonlinearity == "silu", (
+        "fused radial MLP supports the standard depth-1 bias-free silu MLP"
+    )
+    n_emb, H, WN = mlp.dims
+    assert WN == plan.weight_numel
+    alpha0, alpha1 = float(mlp.alphas[0]), float(mlp.alphas[1])
+
+    def forward(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask):
+        (take_idx, safe_idx, src_lay, x_lay, y_lay, wmask, rel_dst,
+         chunk_tile, chunk_first) = _layout_and_gather(
+            plan, x, edge_attr, edge_dst, edge_src,
+            edge_mask if has_mask else None, num_nodes, rows, block_e)
+        E_pal = take_idx.shape[0]
+        G = E_pal // block_e
+        emb_lay = jnp.take(edge_embed, safe_idx, axis=0)
+        # zero embeddings of masked/padding slots: bias-free silu MLP then
+        # produces exactly-zero weights, killing every path's message
+        emb_lay = jnp.where(wmask[:, None], emb_lay, 0)
+        rel_2d = rel_dst.reshape(E_pal, 1)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((block_e, plan.dim_in), lambda g, ct, cf: (g, 0)),
+                pl.BlockSpec((block_e, plan.sh_dim), lambda g, ct, cf: (g, 0)),
+                pl.BlockSpec((block_e, n_emb), lambda g, ct, cf: (g, 0)),
+                pl.BlockSpec((block_e, 1), lambda g, ct, cf: (g, 0)),
+                pl.BlockSpec((n_emb, H), lambda g, ct, cf: (0, 0)),
+                pl.BlockSpec((H, WN), lambda g, ct, cf: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((rows, plan.mid_dim), lambda g, ct, cf: (ct[g], 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_e, plan.mid_dim), x.dtype),
+                pltpu.VMEM((block_e, WN), x.dtype),
+            ],
+        )
+        return pl.pallas_call(
+            partial(_fwd_mlp_kernel, plan, rows, block_e, alpha0, alpha1),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((num_nodes, plan.mid_dim), x.dtype),
+            interpret=(jax.default_backend() == "cpu"),
+        )(chunk_tile, chunk_first, x_lay, y_lay, emb_lay, rel_2d, w1, w2)
+
+    @jax.custom_vjp
+    def fused(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask):
+        return forward(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask)
+
+    def fwd(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask):
+        out = fused(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask)
+        return out, (x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask)
+
+    def bwd(res, g):
+        x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask = res
+        be = min(block_e, 128)  # bwd working set is ~2.5x fwd; smaller blocks
+        (take_idx, safe_idx, src_lay, x_lay, y_lay, wmask, rel_dst,
+         chunk_tile, chunk_first) = _layout_and_gather(
+            plan, x, edge_attr, edge_dst, edge_src,
+            edge_mask if has_mask else None, num_nodes, rows, be)
+        E_pal = take_idx.shape[0]
+        G = E_pal // be
+        emb_lay = jnp.take(edge_embed, safe_idx, axis=0)
+        emb_lay = jnp.where(wmask[:, None], emb_lay, 0)
+        rel_2d = rel_dst.reshape(E_pal, 1)
+        mask_f = wmask.astype(x.dtype).reshape(E_pal, 1)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((be, plan.dim_in), lambda g_, ct, cf: (g_, 0)),
+                pl.BlockSpec((be, plan.sh_dim), lambda g_, ct, cf: (g_, 0)),
+                pl.BlockSpec((be, n_emb), lambda g_, ct, cf: (g_, 0)),
+                pl.BlockSpec((be, 1), lambda g_, ct, cf: (g_, 0)),
+                pl.BlockSpec((be, 1), lambda g_, ct, cf: (g_, 0)),
+                pl.BlockSpec((n_emb, H), lambda g_, ct, cf: (0, 0)),
+                pl.BlockSpec((H, WN), lambda g_, ct, cf: (0, 0)),
+                pl.BlockSpec((rows, plan.mid_dim), lambda g_, ct, cf: (ct[g_], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((be, plan.dim_in), lambda g_, ct, cf: (g_, 0)),
+                pl.BlockSpec((be, plan.sh_dim), lambda g_, ct, cf: (g_, 0)),
+                pl.BlockSpec((be, n_emb), lambda g_, ct, cf: (g_, 0)),
+                pl.BlockSpec((n_emb, H), lambda g_, ct, cf: (0, 0)),
+                pl.BlockSpec((H, WN), lambda g_, ct, cf: (0, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((be, plan.mid_dim), x.dtype)],
+        )
+        dx_lay, dy_lay, demb_lay, dw1, dw2 = pl.pallas_call(
+            partial(_bwd_mlp_kernel, plan, rows, be, alpha0, alpha1),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((E_pal, plan.dim_in), x.dtype),
+                jax.ShapeDtypeStruct((E_pal, plan.sh_dim), x.dtype),
+                jax.ShapeDtypeStruct((E_pal, n_emb), x.dtype),
+                jax.ShapeDtypeStruct((n_emb, H), x.dtype),
+                jax.ShapeDtypeStruct((H, WN), x.dtype),
+            ],
+            interpret=(jax.default_backend() == "cpu"),
+        )(chunk_tile, chunk_first, x_lay, y_lay, emb_lay, rel_2d, mask_f, w1, w2, g)
+
+        dx = jax.ops.segment_sum(dx_lay, src_lay, num_segments=num_nodes)
+        E = edge_dst.shape[0]
+        dy = jnp.zeros_like(edge_attr).at[take_idx].set(
+            jnp.where(wmask[:, None], dy_lay, 0), mode="drop"
+        )
+        demb = jnp.zeros_like(edge_embed).at[take_idx].set(
+            jnp.where(wmask[:, None], demb_lay, 0), mode="drop"
+        )
+        return dx, dy, demb, dw1.astype(w1.dtype), dw2.astype(w2.dtype), None, None, None
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
 # TensorProduct instances are not hashable by content; key on identity
 _TP_CACHE = {}
 

@@ -100,3 +100,51 @@ def test_masked_edges_contribute_nothing(setup):
     out1 = fused_tp_scatter(tp, x, y, w, dst, src, mask, N)
     out2 = fused_tp_scatter(tp, x, bad_y, bad_w, dst, src, mask, N)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-10)
+
+
+def test_fused_mlp_variant_parity_and_grads(setup):
+    """Kernel v2 (radial MLP fused in-kernel) vs XLA reference, incl. grads
+    w.r.t. features, SH, embeddings and MLP parameters."""
+    from nequip_tpu.ops.mlp import ScalarMLP
+    from nequip_tpu.ops.pallas.tp_scatter import fused_tp_scatter_mlp
+    from nequip_tpu.ops.scatter import scatter_sum
+
+    tp, x, y, w, dst, src, mask, N = setup
+    r = np.random.RandomState(7)
+    n_emb = 8
+    mlp = ScalarMLP(
+        input_dim=n_emb, output_dim=tp.weight_numel,
+        hidden_layers_depth=1, hidden_layers_width=16,
+        nonlinearity="silu", bias=False,
+    )
+    mlp_params = mlp.init(jax.random.PRNGKey(2))
+    emb = jnp.asarray(r.standard_normal((dst.shape[0], n_emb)))
+    # reference masks the embedding exactly like the kernel does
+    emb_masked = jnp.where(mask[:, None], emb, 0)
+
+    def ref(x, emb, p):
+        wts = mlp(p, emb_masked_of(emb))
+        xs = jnp.take(x, src, axis=0)
+        return scatter_sum(tp(xs, y, wts), dst, num_segments=N, mask=mask)
+
+    def emb_masked_of(e):
+        return jnp.where(mask[:, None], e, 0)
+
+    def fused(x, emb, p):
+        return fused_tp_scatter_mlp(tp, mlp, x, y, emb, p, dst, src, mask, N)
+
+    out_r = ref(x, emb, mlp_params)
+    out_f = fused(x, emb, mlp_params)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=1e-9)
+
+    def loss(fn):
+        return lambda x, emb, p: jnp.sum(fn(x, emb, p) ** 2)
+
+    gr = jax.grad(loss(ref), argnums=(0, 1, 2))(x, emb, mlp_params)
+    gf = jax.grad(loss(fused), argnums=(0, 1, 2))(x, emb, mlp_params)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]), atol=1e-8)
+    for k in mlp_params:
+        np.testing.assert_allclose(
+            np.asarray(gf[2][k]), np.asarray(gr[2][k]), atol=1e-8, err_msg=k
+        )
