@@ -1,6 +1,7 @@
 from .calculator import NequIPCalculator
 from .md import MDDriver, NoseHoover, VelocityVerlet
 from .pair_style import NequIPPairStyleWrapper
+from .batched import NequIPBatchedInference
 
 __all__ = [
     "NequIPCalculator",
@@ -8,4 +9,5 @@ __all__ = [
     "NoseHoover",
     "VelocityVerlet",
     "NequIPPairStyleWrapper",
+    "NequIPBatchedInference",
 ]
