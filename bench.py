@@ -25,7 +25,7 @@ _A100_BASELINE_ATOM_STEPS_PER_S = 1.0e6
 def main():
     import jax
 
-    n_atoms = int(os.environ.get("NEQUIP_BENCH_ATOMS", 5000))
+    n_atoms = int(os.environ.get("NEQUIP_BENCH_ATOMS", 20000))
     n_steps = int(os.environ.get("NEQUIP_BENCH_STEPS", 10))
     dtype = os.environ.get("NEQUIP_BENCH_DTYPE", "float32")
 

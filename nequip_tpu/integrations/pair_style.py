@@ -111,6 +111,6 @@ class NequIPPairStyleWrapper:
         with open(path, "rb") as f:
             payload = pickle.load(f)
         assert payload.get("format") == "nequip_tpu_pair_style_v1"
-        model = instantiate(payload["model_config"])
+        model = instantiate(payload["model_config"], _recursive_=False)
         params = jax.tree.map(jnp.asarray, payload["params"])
         return cls(model, params)

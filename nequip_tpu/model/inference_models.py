@@ -179,7 +179,7 @@ class CompiledModel:
 
                 cfg = json.loads(zf.read("model_config.json"))
                 assert cfg, "artifact has no exported code and no eager fallback"
-                self._model = instantiate(cfg)
+                self._model = instantiate(cfg, _recursive_=False)
                 self._params = jax.tree.map(
                     jnp.asarray, pickle.loads(zf.read("params.pkl"))
                 )

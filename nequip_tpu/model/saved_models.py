@@ -52,7 +52,8 @@ def ModelFromPackage(package_path: str):
         meta = json.loads(zf.read("package_metadata.json"))
         model_cfg = json.loads(zf.read("model_config.json"))
         params_tree = pickle.loads(zf.read("params.pkl"))
-    model = instantiate(model_cfg)
+    # builder configs may contain nested sub-configs (pair_potential)
+    model = instantiate(model_cfg, _recursive_=False)
     import jax.numpy as jnp
     import jax
 

@@ -64,6 +64,75 @@ def info(args) -> None:
     print(json.dumps({"metadata": meta, "model_config": cfg}, indent=2))
 
 
+def list_contents(args) -> None:
+    with zipfile.ZipFile(args.package_path) as zf:
+        for zi in zf.infolist():
+            print(f"{zi.file_size:>12}  {zi.filename}")
+
+
+def diff(args) -> None:
+    """Compare metadata/config/params of two packages."""
+    import numpy as np
+
+    def load(path):
+        with zipfile.ZipFile(path) as zf:
+            return (
+                json.loads(zf.read("package_metadata.json")),
+                json.loads(zf.read("model_config.json")),
+                pickle.loads(zf.read("params.pkl")),
+            )
+
+    m1, c1, p1 = load(args.package_a)
+    m2, c2, p2 = load(args.package_b)
+    for name, a, b in (("metadata", m1, m2), ("model_config", c1, c2)):
+        keys = sorted(set(a) | set(b))
+        for k in keys:
+            if a.get(k) != b.get(k):
+                print(f"{name}.{k}: {a.get(k)!r} != {b.get(k)!r}")
+    import jax
+
+    la, lb = jax.tree.leaves(p1), jax.tree.leaves(p2)
+    if len(la) != len(lb):
+        print(f"params: {len(la)} leaves != {len(lb)} leaves")
+    else:
+        worst = max(
+            (float(np.abs(np.asarray(x) - np.asarray(y)).max()) if x.shape == y.shape else float("inf"))
+            for x, y in zip(la, lb)
+        ) if la else 0.0
+        print(f"params: max abs diff {worst:.3e}")
+
+
+def modify_cmd(args) -> None:
+    """Apply persistent modifiers to a package and write a new archive."""
+    import jax
+    import numpy as np
+
+    from ..model.modify_utils import modify as apply_modifiers
+    from ..model.saved_models import ModelFromPackage
+
+    model, params = ModelFromPackage(args.package_path)
+    specs = []
+    for m in args.modifiers:
+        name, _, kv = m.partition(":")
+        spec = {"modifier": name}
+        if kv:
+            import yaml as _yaml
+
+            spec.update(_yaml.safe_load(kv))
+        specs.append(spec)
+    model, params = apply_modifiers(model, params, specs)
+    host_params = jax.tree.map(lambda x: np.asarray(x), params)
+    with zipfile.ZipFile(args.package_path) as zf:
+        meta = json.loads(zf.read("package_metadata.json"))
+        cfg = json.loads(zf.read("model_config.json"))
+    meta["modifiers"] = args.modifiers
+    with zipfile.ZipFile(args.output_path, "w") as zf:
+        zf.writestr("package_metadata.json", json.dumps(meta, indent=2))
+        zf.writestr("model_config.json", json.dumps(cfg))
+        zf.writestr("params.pkl", pickle.dumps(host_params))
+    log.info(f"wrote modified package {args.output_path}")
+
+
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     parser = argparse.ArgumentParser(description="Package a NequIP-TPU model")
@@ -77,6 +146,22 @@ def main(argv=None) -> None:
     p_info = sub.add_parser("info")
     p_info.add_argument("package_path")
     p_info.set_defaults(func=info)
+
+    p_list = sub.add_parser("list")
+    p_list.add_argument("package_path")
+    p_list.set_defaults(func=list_contents)
+
+    p_diff = sub.add_parser("diff")
+    p_diff.add_argument("package_a")
+    p_diff.add_argument("package_b")
+    p_diff.set_defaults(func=diff)
+
+    p_mod = sub.add_parser("modify")
+    p_mod.add_argument("package_path")
+    p_mod.add_argument("output_path")
+    p_mod.add_argument("--modifiers", nargs="+", required=True,
+                       help="name or name:{yaml kwargs}")
+    p_mod.set_defaults(func=modify_cmd)
 
     args = parser.parse_args(argv)
     from ._workflow_utils import set_workflow_state

@@ -76,8 +76,11 @@ class NequIPTrainModule:
         seed: Optional[int] = None,
     ):
         self.model_config = model if isinstance(model, dict) else None
+        # NOT recursive: nested configs (e.g. pair_potential) are builder
+        # arguments that the model builder instantiates itself with the
+        # required type_names/irreps context
         self.model: GraphModel = (
-            instantiate(model) if isinstance(model, dict) else model
+            instantiate(model, _recursive_=False) if isinstance(model, dict) else model
         )
         self.seed = seed if seed is not None else getattr(self.model, "seed", 0)
 
@@ -161,10 +164,17 @@ class NequIPTrainModule:
             if axis_name is not None:
                 grads = jax.lax.psum(grads, axis_name)
             # self.optimizer is finalized by init_state (frozen-param masking
-            # needs the params structure); tracing happens after that
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params
-            )
+            # needs the params structure); tracing happens after that.
+            # extra-args transforms (e.g. optax.contrib.reduce_on_plateau)
+            # receive the loss value.
+            if isinstance(self.optimizer, optax.GradientTransformationExtraArgs):
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, state.params, value=loss
+                )
+            else:
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, state.params
+                )
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 step=state.step + 1,

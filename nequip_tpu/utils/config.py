@@ -31,6 +31,33 @@ def register_resolver(name: str, fn: Callable, replace: bool = False) -> None:
     _RESOLVERS[name] = fn
 
 
+def _big_dataset_stats(dataset: str, r_max, name: str):
+    """Look up precomputed foundation-model dataset statistics.
+
+    Parity: the ``big_dataset_stats`` resolver
+    (``/root/reference/nequip/utils/resolvers.py:81-104``) reading
+    ``nequip_tpu/data/dataset_stats/<dataset>.yaml``.
+    """
+    import os
+
+    stats_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "dataset_stats",
+    )
+    path = os.path.join(stats_dir, f"{dataset}.yaml")
+    if not os.path.exists(path):
+        available = [f[:-5] for f in os.listdir(stats_dir) if f.endswith(".yaml")]
+        raise KeyError(
+            f"no precomputed stats for dataset {dataset!r}; available: {available}"
+        )
+    with open(path) as f:
+        table = yaml.safe_load(f)
+    key = f"r{float(r_max)}"
+    assert key in table, f"{dataset}: no stats at cutoff {key}; have {list(table)}"
+    return table[key][str(name)]
+
+
 def _builtin_resolvers():
     register_resolver("int_div", lambda a, b: int(a) // int(b), replace=True)
     register_resolver("int_mul", lambda a, b: int(a) * int(b), replace=True)
@@ -45,12 +72,29 @@ def _builtin_resolvers():
         lambda lst, const: {str(x): const for x in lst},
         replace=True,
     )
+    register_resolver("big_dataset_stats", _big_dataset_stats, replace=True)
 
 
 _builtin_resolvers()
 
 _INTERP_RE = re.compile(r"^\$\{([^{}]+)\}$")
 _INTERP_PART_RE = re.compile(r"\$\{([^{}]+)\}")
+
+
+def _outer_expr(s: str):
+    """If ``s`` is exactly one (possibly nested) ``${...}``, return the inner
+    expression, else None."""
+    if not (s.startswith("${") and s.endswith("}")):
+        return None
+    depth = 0
+    for i, ch in enumerate(s):
+        if s.startswith("${", i):
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return s[2:-1] if i == len(s) - 1 else None
+    return None
 
 
 def _lookup(root: Any, path: str) -> Any:
@@ -80,8 +124,9 @@ def _resolve_expr(expr: str, root: Any) -> Any:
             args = []
             for raw in _split_args(argstr):
                 raw = raw.strip()
-                if _INTERP_RE.fullmatch(raw):
-                    args.append(_resolve_expr(_INTERP_RE.fullmatch(raw).group(1), root))
+                inner = _outer_expr(raw)
+                if inner is not None:
+                    args.append(_resolve_expr(inner, root))
                 else:
                     args.append(yaml.safe_load(raw))
             return _RESOLVERS[name](*args)
@@ -97,7 +142,7 @@ def _split_args(s: str):
             depth += 1
         elif ch in ")}]":
             depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "," and depth <= 0:
             out.append("".join(cur))
             cur = []
         else:
@@ -118,10 +163,10 @@ def resolve(cfg: Any, root: Any = None) -> Any:
         if isinstance(node, list):
             return [_rec(v) for v in node]
         if isinstance(node, str):
-            m = _INTERP_RE.fullmatch(node)
-            if m:
+            expr = _outer_expr(node)
+            if expr is not None:
                 try:
-                    return _rec(_resolve_expr(m.group(1), root))
+                    return _rec(_resolve_expr(expr, root))
                 except _Unresolved:
                     return node
             if _INTERP_PART_RE.search(node):
