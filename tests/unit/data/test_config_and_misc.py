@@ -22,11 +22,20 @@ def test_interpolation_and_resolvers():
 
 
 def test_unknown_resolver_left_verbatim():
-    cfg = {"x": "${training_data_stats:num_neighbors_mean}"}
-    out = resolve(cfg)
-    assert out["x"] == cfg["x"]
-    register_resolver("training_data_stats", lambda name: 42.0, replace=True)
-    assert resolve(cfg)["x"] == 42.0
+    from nequip_tpu.utils.config import _RESOLVERS
+
+    saved = _RESOLVERS.pop("training_data_stats", None)
+    try:
+        cfg = {"x": "${training_data_stats:num_neighbors_mean}"}
+        out = resolve(cfg)
+        assert out["x"] == cfg["x"]
+        register_resolver("training_data_stats", lambda name: 42.0, replace=True)
+        assert resolve(cfg)["x"] == 42.0
+    finally:
+        if saved is not None:
+            _RESOLVERS["training_data_stats"] = saved
+        else:
+            _RESOLVERS.pop("training_data_stats", None)
 
 
 def test_big_dataset_stats_resolver():
