@@ -1,5 +1,5 @@
 from .base import AtomicDataset, InMemoryDataset, RandomSplitDataset, SubsetDataset
-from .synthetic import LJTestDataset, lj_reference
+from .synthetic import LJTestDataset, EMTTestDataset, lj_reference
 from .file_datasets import NPZDataset, HDF5Dataset, ASEDataset, LMDBDataset
 
 __all__ = [
@@ -8,6 +8,7 @@ __all__ = [
     "RandomSplitDataset",
     "SubsetDataset",
     "LJTestDataset",
+    "EMTTestDataset",
     "lj_reference",
     "NPZDataset",
     "HDF5Dataset",

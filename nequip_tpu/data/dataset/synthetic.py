@@ -132,3 +132,10 @@ class LJTestDataset(AtomicDataset):
 
     def get_frame(self, idx: int) -> dict:
         return dict(self.frames[idx])
+
+
+# drop-in name parity with the reference's test dataset
+# (/root/reference/nequip/data/dataset/test_data.py:18-94); the labeling
+# potential here is the truncated LJ above instead of ASE's EMT, but the
+# role (cheap deterministic PBC data with E/F/stress labels) is identical.
+EMTTestDataset = LJTestDataset

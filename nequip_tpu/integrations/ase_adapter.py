@@ -25,14 +25,14 @@ def _require_ase():
 
 
 def from_ase_atoms(atoms) -> dict:
-    """ase.Atoms -> raw frame dict (parity: ``data/ase.py:from_ase``)."""
-    frame = {
-        _keys.POSITIONS_KEY: atoms.get_positions(),
-        _keys.ATOMIC_NUMBERS_KEY: atoms.get_atomic_numbers(),
-    }
-    if atoms.pbc.any():
-        frame[_keys.CELL_KEY] = np.asarray(atoms.get_cell())
-        frame[_keys.PBC_KEY] = np.asarray(atoms.pbc)
+    """ase.Atoms -> raw frame dict (full converter in data.ase_adapter)."""
+    from ..data.ase_adapter import from_ase
+
+    frame = from_ase(atoms)
+    # the calculator provides the geometry only; drop any label fields
+    for k in (_keys.TOTAL_ENERGY_KEY, _keys.FORCE_KEY, _keys.STRESS_KEY,
+              _keys.PER_ATOM_ENERGY_KEY, _keys.FREE_ENERGY_KEY, _keys.VIRIAL_KEY):
+        frame.pop(k, None)
     return frame
 
 
