@@ -116,7 +116,11 @@ def run_config(config: dict, ckpt_path: Optional[str] = None) -> "Trainer":
                     ckpt_path="best" if not hasattr(trainer, "state") else None,
                 )
             elif stage == "predict":
-                log.warning("predict stage: use nequip-compile + integrations")
+                trainer.predict(
+                    training_module,
+                    datamodule,
+                    ckpt_path="best" if not hasattr(trainer, "state") else None,
+                )
         return trainer
     finally:
         set_workflow_state(None)

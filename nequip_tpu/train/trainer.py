@@ -236,6 +236,33 @@ class Trainer:
             out_metrics.update({f"{prefix}/{k}": v for k, v in vals.items()})
         return out_metrics
 
+    def predict(self, module, datamodule, ckpt_path: Optional[str] = None):
+        """Run the model over the predict dataloaders; returns outputs per
+        batch (and feeds any XYZ-writer callbacks)."""
+        self.module = module
+        datamodule.setup("predict")
+        loaders = datamodule.predict_dataloaders() or datamodule.test_dataloaders()
+        if ckpt_path is not None:
+            if ckpt_path == "best":
+                ckpt_path = os.path.join(self.ckpt_dir, "best.ckpt")
+            payload = load_checkpoint(ckpt_path)
+            self.state = state_from_payload(payload)
+        params = module.evaluation_params(self.state)
+        import jax
+
+        fwd = jax.jit(lambda p, d: module.model(p, d))
+        xyz_cbs = [cb for cb in self.callbacks if hasattr(cb, "on_eval_batch")]
+        outputs = []
+        for loader in loaders:
+            for batch in loader:
+                out = fwd(params, batch)
+                for cb in xyz_cbs:
+                    cb.on_eval_batch(out, batch)
+                outputs.append(out)
+        for cb in self.callbacks:
+            cb.on_test_epoch_end(self, module, {})
+        return outputs
+
     def validate(self, module, datamodule, ckpt_path: Optional[str] = None) -> Dict[str, float]:
         return self._standalone_eval("val", module, datamodule, ckpt_path)
 
