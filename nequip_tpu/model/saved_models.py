@@ -69,10 +69,9 @@ def load_saved_model(path: str, use_ema: bool = True) -> Tuple[object, dict]:
     network access in this environment) and raises a clear error.
     """
     if str(path).startswith("nequip.net:"):
-        raise NotImplementedError(
-            "model-repository downloads are not available in this build; "
-            "pass a local checkpoint (.ckpt) or package (.zip) path"
-        )
+        from ..utils.model_cache import resolve_model_id
+
+        path = resolve_model_id(str(path))
     if zipfile.is_zipfile(path):
         return ModelFromPackage(path)
     return ModelFromCheckpoint(path, use_ema=use_ema)

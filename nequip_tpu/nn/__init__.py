@@ -4,7 +4,7 @@ from .graph_utils import with_edge_vectors, with_edge_types
 from .interaction_block import InteractionBlock
 from .convnetlayer import ConvNetLayer
 from .tp_scatter import TensorProductScatter
-from .atomwise import AtomwiseLinear, AtomwiseReduce, PerTypeScaleShift
+from .atomwise import AtomwiseLinear, AtomwiseOperation, AtomwiseReduce, PerTypeScaleShift
 from .grad_output import ForceStressOutput, PartialForceOutput
 from .scalar_mlp import ScalarMLP
 from .norm import AvgNumNeighborsNorm
@@ -25,6 +25,7 @@ __all__ = [
     "ConvNetLayer",
     "TensorProductScatter",
     "AtomwiseLinear",
+    "AtomwiseOperation",
     "AtomwiseReduce",
     "PerTypeScaleShift",
     "ForceStressOutput",

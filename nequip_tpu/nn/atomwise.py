@@ -23,6 +23,38 @@ from ..utils.global_state import global_dtype
 from .module import GraphModule, Params
 
 
+class AtomwiseOperation(GraphModule):
+    """Apply an arbitrary per-atom operation object to a field.
+
+    Parity: ``AtomwiseOperation`` (``atomwise.py:17-30``).  ``operation``
+    must expose ``irreps_in``/``irreps_out`` and be callable; if it has
+    ``init``, its params live under this module.
+    """
+
+    def __init__(self, operation, field: str, irreps_in=None):
+        super().__init__()
+        self.operation = operation
+        self.field = field
+        self._init_irreps(
+            irreps_in=irreps_in,
+            my_irreps_in={field: getattr(operation, "irreps_in", None)},
+            irreps_out={field: getattr(operation, "irreps_out", None)},
+        )
+
+    def init(self, rng) -> Params:
+        if hasattr(self.operation, "init"):
+            return self.operation.init(rng)
+        return {}
+
+    def __call__(self, params: Params, data: dict) -> dict:
+        data = dict(data)
+        try:
+            data[self.field] = self.operation(params, data[self.field])
+        except TypeError:
+            data[self.field] = self.operation(data[self.field])
+        return data
+
+
 class AtomwiseLinear(GraphModule):
     def __init__(
         self,

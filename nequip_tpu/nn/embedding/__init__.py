@@ -1,4 +1,5 @@
 from .node import NodeTypeEmbed
+from .node_tensor import AppendVectorFieldEmbed
 from .edge import (
     SphericalHarmonicEdgeAttrs,
     EdgeLengthNormalizer,
@@ -10,6 +11,7 @@ from .utils import cutoff_dict_to_matrix, cutoff_matrix_to_dict
 
 __all__ = [
     "NodeTypeEmbed",
+    "AppendVectorFieldEmbed",
     "SphericalHarmonicEdgeAttrs",
     "EdgeLengthNormalizer",
     "BesselEdgeLengthEncoding",
