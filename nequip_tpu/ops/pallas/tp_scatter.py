@@ -49,6 +49,21 @@ DEFAULT_ROWS = 128
 DEFAULT_BLOCK_E = 256
 
 
+def _mxu_precision(dtype):
+    """HIGHEST (f32 passes) for f32 operands; DEFAULT for bf16 (native MXU)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32 or dtype == jnp.float64
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _acc_dtype(dtype):
+    """Matmul accumulator dtype: at least 32-bit (Mosaic requirement), but
+    never narrower than the operand dtype (keeps f64 test parity)."""
+    return jnp.float32 if jnp.dtype(dtype).itemsize < 4 else dtype
+
+
 # ---------------------------------------------------------------------------
 # static kernel plan derived from the TensorProduct spec
 # ---------------------------------------------------------------------------
@@ -192,9 +207,9 @@ def _kernel(plan: _TPPlan, rows, block_e, ct_ref, cf_ref, x_ref, y_ref, w_ref, r
     S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
         S, msg_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=out_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        preferred_element_type=_acc_dtype(msg_ref.dtype),
+        precision=_mxu_precision(msg_ref.dtype),
+    ).astype(out_ref.dtype)
 
 
 def _forward(
@@ -270,9 +285,9 @@ def _bwd_kernel(
     S = (row_ids == rel_ref[:]).astype(g_ref.dtype)
     ge_ref[:] = jnp.dot(
         S, g_ref[:],
-        preferred_element_type=g_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        preferred_element_type=_acc_dtype(g_ref.dtype),
+        precision=_mxu_precision(g_ref.dtype),
+    ).astype(ge_ref.dtype)
 
     x = x_ref[:]
     y = y_ref[:]
@@ -395,21 +410,21 @@ def _fwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
 
     # radial MLP in VMEM: [B, n_emb] @ [n_emb, H] -> silu -> @ [H, WN]
     h = jnp.dot(emb_ref[:], w1_ref[:] * alpha0,
-                preferred_element_type=out_ref.dtype,
-                precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=_acc_dtype(emb_ref.dtype),
+                precision=_mxu_precision(emb_ref.dtype))
     h = jax.nn.silu(h)
     w_ref[:] = jnp.dot(h, w2_ref[:] * alpha1,
-                       preferred_element_type=out_ref.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
+                       preferred_element_type=_acc_dtype(emb_ref.dtype),
+                       precision=_mxu_precision(emb_ref.dtype)).astype(w_ref.dtype)
 
     _compute_tp_block(plan, x_ref[:], y_ref[:], w_ref[:], msg_ref)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
     S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
         S, msg_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=out_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        preferred_element_type=_acc_dtype(msg_ref.dtype),
+        precision=_mxu_precision(msg_ref.dtype),
+    ).astype(out_ref.dtype)
 
 
 def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw):
@@ -457,7 +472,7 @@ def _bwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
                     dx_ref, dy_ref, demb_ref, dw1_ref, dw2_ref,
                     ge_ref):
     g = pl.program_id(0)
-    f32 = jax.lax.Precision.HIGHEST
+    f32 = _mxu_precision(g_ref.dtype)
 
     @pl.when(g == 0)
     def _():
@@ -467,32 +482,36 @@ def _bwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
     # gather cotangent rows: g_e = S @ g_tile
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
     S = (row_ids == rel_ref[:]).astype(g_ref.dtype)
-    ge_ref[:] = jnp.dot(S, g_ref[:], preferred_element_type=g_ref.dtype, precision=f32)
+    ge_ref[:] = jnp.dot(
+        S, g_ref[:], preferred_element_type=_acc_dtype(g_ref.dtype), precision=f32
+    ).astype(ge_ref.dtype)
 
     # recompute radial MLP
     w1a = w1_ref[:] * alpha0
     w2a = w2_ref[:] * alpha1
     emb = emb_ref[:]
-    h_pre = jnp.dot(emb, w1a, preferred_element_type=emb.dtype, precision=f32)
+    h_pre = jnp.dot(emb, w1a, preferred_element_type=_acc_dtype(emb.dtype), precision=f32).astype(emb.dtype)
     sig = jax.nn.sigmoid(h_pre)
     h = h_pre * sig
-    w = jnp.dot(h, w2a, preferred_element_type=emb.dtype, precision=f32)
+    w = jnp.dot(h, w2a, preferred_element_type=_acc_dtype(emb.dtype), precision=f32).astype(emb.dtype)
 
     dw = _compute_tp_bwd_block(plan, x_ref[:], y_ref[:], w, ge_ref[:], dx_ref, dy_ref, None)
     dw = dw * mask_ref[:]  # kill cotangents of masked/padding slots
 
     # MLP VJP (accumulated across chunks in the resident dw1/dw2 blocks)
-    dh = jnp.dot(dw, w2a.T, preferred_element_type=emb.dtype, precision=f32)
+    dh = jnp.dot(dw, w2a.T, preferred_element_type=_acc_dtype(emb.dtype), precision=f32).astype(emb.dtype)
     dh_pre = dh * (sig * (1.0 + h_pre * (1.0 - sig)))
-    demb_ref[:] = jnp.dot(dh_pre, w1a.T, preferred_element_type=emb.dtype, precision=f32)
+    demb_ref[:] = jnp.dot(
+        dh_pre, w1a.T, preferred_element_type=_acc_dtype(emb.dtype), precision=f32
+    ).astype(demb_ref.dtype)
     dw2_ref[:] += alpha1 * jax.lax.dot_general(
         h, dw, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=emb.dtype, precision=f32,
-    )
+        preferred_element_type=_acc_dtype(emb.dtype), precision=f32,
+    ).astype(dw2_ref.dtype)
     dw1_ref[:] += alpha0 * jax.lax.dot_general(
         emb, dh_pre, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=emb.dtype, precision=f32,
-    )
+        preferred_element_type=_acc_dtype(emb.dtype), precision=f32,
+    ).astype(dw1_ref.dtype)
 
 
 def _layout_and_gather(tp_plan, x, edge_attr, edge_dst, edge_src, edge_mask,
