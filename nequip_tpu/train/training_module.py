@@ -144,6 +144,34 @@ class NequIPTrainModule:
         model, loss_mgr = self.model, self.loss
         assert loss_mgr is not None, "training requires a loss"
 
+        # force/stress losses differentiate through ForceStressOutput's
+        # jax.grad — second-order AD does not flow through the fused Pallas
+        # kernels' custom_vjp, so training must use the XLA TP path
+        from ..data import _keys as _k
+        from ..nn.tp_scatter import TensorProductScatter
+
+        uses_derivative_loss = any(
+            e["mod"].field in (_k.FORCE_KEY, _k.STRESS_KEY, _k.VIRIAL_KEY)
+            for e in loss_mgr.entries
+        )
+        if uses_derivative_loss:
+            def _check(m):
+                if isinstance(m, TensorProductScatter):
+                    assert m.impl == "xla", (
+                        "training with force/stress losses requires "
+                        "tp_impl='xla' (the fused Pallas kernels are "
+                        "first-order only; they are for inference/MD)"
+                    )
+                if hasattr(m, "module_dict"):
+                    for v in m.module_dict.values():
+                        _check(v)
+                for attr in ("model", "func", "conv", "tp_scatter"):
+                    v = getattr(m, attr, None)
+                    if v is not None and hasattr(v, "irreps_in"):
+                        _check(v)
+
+            _check(model)
+
         def train_step(state: TrainState, batch: dict, loss_coeffs=None):
             def loss_fn(params):
                 out = model(params, batch)
