@@ -163,9 +163,21 @@ class TensorProduct:
             else:
                 w = None
 
-            if ins.mode == "uvu":
+            if ins.mode == "uvu" and mi2.mul == 1:
+                # fast path (the conv hot op): explicit outer product then one
+                # CG matmul — XLA lowers this to two dot_generals, ~2.5x
+                # faster than the fused 3/4-operand einsum on TPU
+                d1, d2, d3 = mi1.ir.dim, mi2.ir.dim, mi3.ir.dim
+                # c1 [..., d1, mul] x c2 [..., d2, 1] -> z [..., d1*d2, mul]
+                z = (c1[..., :, None, :] * c2[..., None, :, :]).reshape(
+                    batch_shape + (d1 * d2, mi1.mul)
+                )
+                cgm = cg.reshape(d1 * d2, d3)
+                out = jnp.einsum("...pu,pk->...ku", z, cgm)
+                if w is not None:
+                    out = out * w[..., 0][..., None, :]
+            elif ins.mode == "uvu":
                 if w is None:
-                    # unweighted uvu with mul2 == 1
                     out = jnp.einsum("ijk,...iu,...jv->...ku", cg, c1, c2)
                 else:
                     out = jnp.einsum("ijk,...iu,...jv,...uv->...ku", cg, c1, c2, w)

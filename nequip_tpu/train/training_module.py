@@ -73,6 +73,7 @@ class NequIPTrainModule:
         test_metrics: Union[dict, MetricsManager, None] = None,
         optimizer: Optional[dict] = None,
         lr_scheduler: Optional[dict] = None,
+        gradient_clip_val: Optional[float] = None,
         seed: Optional[int] = None,
     ):
         self.model_config = model if isinstance(model, dict) else None
@@ -96,7 +97,12 @@ class NequIPTrainModule:
 
         self.optimizer_config = optimizer
         self.lr_scheduler_config = lr_scheduler
+        self.gradient_clip_val = gradient_clip_val
         base_opt = _build_optimizer(optimizer)
+        if gradient_clip_val is not None:
+            base_opt = optax.chain(
+                optax.clip_by_global_norm(float(gradient_clip_val)), base_opt
+            )
         if lr_scheduler is not None:
             sched = instantiate(lr_scheduler)
             base_opt = optax.chain(base_opt, optax.scale_by_schedule(sched))
@@ -242,6 +248,7 @@ class NequIPTrainModule:
             "model": self.model_config or getattr(self.model, "model_config", None),
             "optimizer": self.optimizer_config,
             "lr_scheduler": self.lr_scheduler_config,
+            "gradient_clip_val": self.gradient_clip_val,
             "seed": self.seed,
             "_target_": f"{type(self).__module__}.{type(self).__name__}",
         }
