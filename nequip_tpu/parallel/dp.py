@@ -82,15 +82,17 @@ class DataParallel:
         step = self.module.make_train_step(axis_name=self.axis_name)
         ax = self.axis_name
 
-        def wrapped(state, batch, loss_coeffs):
+        def wrapped(state, batch, loss_coeffs, lr_scale=None):
+            if lr_scale is None:
+                lr_scale = jnp.asarray(1.0, dtype=jnp.float32)
             smapped = _shard_map(
                 step,
                 mesh=self.mesh,
-                in_specs=(P(), batch_pspecs(batch, ax), P()),
+                in_specs=(P(), batch_pspecs(batch, ax), P(), P()),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
-            return smapped(state, batch, loss_coeffs)
+            return smapped(state, batch, loss_coeffs, lr_scale)
 
         return jax.jit(wrapped, donate_argnums=(0,))
 

@@ -21,6 +21,19 @@ from .config_module import (
     ConFIGLightningModule,
     EMAConFIGLightningModule,
 )
+from .lr_scheduler import (
+    LRScheduler,
+    ConstantLR,
+    StepLR,
+    MultiStepLR,
+    ExponentialLR,
+    LinearLR,
+    CosineAnnealingLR,
+    ReduceLROnPlateau,
+    SequentialLR,
+    ChainedScheduler,
+    build_scheduler,
+)
 from .checkpoint import save_checkpoint, load_checkpoint, state_from_payload
 from .ema import ema_update
 from . import callbacks
@@ -46,6 +59,17 @@ __all__ = [
     "EMAConFIGTrainModule",
     "ConFIGLightningModule",
     "EMAConFIGLightningModule",
+    "LRScheduler",
+    "ConstantLR",
+    "StepLR",
+    "MultiStepLR",
+    "ExponentialLR",
+    "LinearLR",
+    "CosineAnnealingLR",
+    "ReduceLROnPlateau",
+    "SequentialLR",
+    "ChainedScheduler",
+    "build_scheduler",
     "save_checkpoint",
     "load_checkpoint",
     "state_from_payload",

@@ -51,7 +51,7 @@ class ConFIGTrainModule(NequIPTrainModule):
         names = self._loss_component_names
         eps = self.norm_eps
 
-        def train_step(state: TrainState, batch: dict, loss_coeffs=None):
+        def train_step(state: TrainState, batch: dict, loss_coeffs=None, lr_scale=None):
             def components(params):
                 out = model(params, batch)
                 bs = loss_mgr.batch_state(out, batch)
@@ -125,6 +125,8 @@ class ConFIGTrainModule(NequIPTrainModule):
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
+            if lr_scale is not None:
+                updates = jax.tree.map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 step=state.step + 1,

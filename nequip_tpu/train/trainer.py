@@ -73,6 +73,7 @@ class Trainer:
         self.run_index = 0
         self._metrics_rows: List[Dict[str, float]] = []
         self._scalars: Dict[str, float] = {}
+        self._lr_scale = jnp.asarray(1.0, dtype=jnp.float32)
 
     # ------------------------------------------------------------------
     # loss-coefficient runtime control (used by callbacks)
@@ -133,6 +134,13 @@ class Trainer:
             self.run_index = int(meta.get("run_index", 0))
             if meta.get("loss_coeffs") is not None:
                 self._loss_coeffs = jnp.asarray(meta["loss_coeffs"])
+            if meta.get("lr_scale") is not None:
+                self._lr_scale = jnp.asarray(meta["lr_scale"], dtype=jnp.float32)
+            if (
+                meta.get("lr_scheduler_state") is not None
+                and getattr(module, "lr_scheduler_obj", None) is not None
+            ):
+                module.lr_scheduler_obj.load_state_dict(meta["lr_scheduler_state"])
             if meta.get("loss_manager_state") is not None and module.loss:
                 module.loss.load_state_dict(meta["loss_manager_state"])
             for cb, sd in zip(self.callbacks, meta.get("callback_states", [])):
@@ -161,7 +169,7 @@ class Trainer:
             n_batches = 0
             for batch in train_loader:
                 self.state, logs = self._train_step(
-                    self.state, batch, self._loss_coeffs
+                    self.state, batch, self._loss_coeffs, self._lr_scale
                 )
                 self.global_step += 1
                 n_batches += 1
@@ -206,6 +214,15 @@ class Trainer:
             for cb in self.callbacks:
                 cb.on_train_epoch_end(self, module, self.epoch, metrics)
                 cb.on_validation_epoch_end(self, module, self.epoch, metrics)
+
+            # epoch LR scheduler (reference: lr_scheduler monitor/interval
+            # plumbing, lightning.py:175-219) — host decision, traced scalar
+            new_scale = module.lr_scheduler_epoch_end(self.epoch, metrics)
+            if new_scale is not None:
+                if float(new_scale) != float(self._lr_scale):
+                    log.info(f"lr scale -> {float(new_scale):.3e}")
+                self._lr_scale = jnp.asarray(new_scale, dtype=jnp.float32)
+                metrics["lr_scale"] = float(new_scale)
 
             self.epoch += 1
             self._checkpoint(metrics)
@@ -304,6 +321,12 @@ class Trainer:
             "best_monitor": self.best_monitor,
             "run_index": self.run_index,
             "loss_coeffs": np.asarray(self._loss_coeffs).tolist(),
+            "lr_scale": float(self._lr_scale),
+            "lr_scheduler_state": (
+                self.module.lr_scheduler_obj.state_dict()
+                if getattr(self.module, "lr_scheduler_obj", None) is not None
+                else None
+            ),
             "loss_manager_state": self.module.loss.state_dict() if self.module.loss else None,
             "callback_states": [cb.state_dict() for cb in self.callbacks],
             "dataloader_state": self.datamodule.train_dataloader().state_dict()

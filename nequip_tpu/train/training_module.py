@@ -30,8 +30,13 @@ from ..data import _keys
 from ..nn.graph_model import GraphModel
 from ..utils.config import instantiate
 from .ema import ema_update
+from .lr_scheduler import LRScheduler, build_scheduler
 from .metrics_manager import MetricsManager
 from .state import TrainState
+
+# the reference wraps a single GraphModel in ModuleDict({"sole_model": model})
+# (lightning.py:25,90-91); we use the same key for config/checkpoint parity
+SOLE_MODEL_KEY = "sole_model"
 
 
 def _build_optimizer(cfg) -> optax.GradientTransformation:
@@ -48,17 +53,19 @@ def _build_optimizer(cfg) -> optax.GradientTransformation:
     raise TypeError(f"cannot interpret optimizer config {cfg!r}")
 
 
-def _frozen_label_tree(params, frozen_paths) -> Any:
-    """Label pytree: 'frozen' for leaves under a frozen path, else 'trainable'."""
+def _label_tree(params, label_of_path) -> Any:
+    """Map each leaf's dotted path through ``label_of_path``."""
 
     def rec(node, prefix):
         if isinstance(node, dict):
             return {k: rec(v, f"{prefix}{k}." if prefix else f"{k}.") for k, v in node.items()}
-        path = prefix[:-1]
-        frozen = any(path == fp or path.startswith(fp + ".") for fp in frozen_paths)
-        return "frozen" if frozen else "trainable"
+        return label_of_path(prefix[:-1])
 
     return rec(params, "")
+
+
+def _path_matches(path: str, patterns) -> bool:
+    return any(path == p or path.startswith(p + ".") for p in patterns)
 
 
 class NequIPTrainModule:
@@ -77,11 +84,31 @@ class NequIPTrainModule:
         seed: Optional[int] = None,
     ):
         self.model_config = model if isinstance(model, dict) else None
-        # NOT recursive: nested configs (e.g. pair_potential) are builder
-        # arguments that the model builder instantiates itself with the
-        # required type_names/irreps context
-        self.model: GraphModel = (
-            instantiate(model, _recursive_=False) if isinstance(model, dict) else model
+
+        # === models (possibly several, as in the reference's ModuleDict) ===
+        # contract mirrors lightning.py:78-107: a mapping of name -> model
+        # builds multiple GraphModels; a single model is stored under
+        # SOLE_MODEL_KEY; all models must share type_names.
+        def _build(m):
+            # NOT recursive: nested configs (e.g. pair_potential) are builder
+            # arguments that the model builder instantiates itself with the
+            # required type_names/irreps context
+            return instantiate(m, _recursive_=False) if isinstance(m, dict) else m
+
+        if isinstance(model, dict) and "_target_" not in model:
+            self.models: Dict[str, GraphModel] = {k: _build(v) for k, v in model.items()}
+        else:
+            self.models = {SOLE_MODEL_KEY: _build(model)}
+        tn = [tuple(getattr(m, "type_names", ())) for m in self.models.values()]
+        assert all(t == tn[0] for t in tn), (
+            "multiple models must have the same type_names (lightning.py:96-107)"
+        )
+        # sole/primary model: standard train/eval steps run this one; true
+        # multi-model training overrides make_train_step in a subclass (the
+        # reference's forward() likewise only serves the sole model,
+        # lightning.py:221-226)
+        self.model: GraphModel = self.models.get(
+            SOLE_MODEL_KEY, next(iter(self.models.values()))
         )
         self.seed = seed if seed is not None else getattr(self.model, "seed", 0)
 
@@ -98,37 +125,116 @@ class NequIPTrainModule:
         self.optimizer_config = optimizer
         self.lr_scheduler_config = lr_scheduler
         self.gradient_clip_val = gradient_clip_val
-        base_opt = _build_optimizer(optimizer)
-        if gradient_clip_val is not None:
-            base_opt = optax.chain(
-                optax.clip_by_global_norm(float(gradient_clip_val)), base_opt
+
+        # === param groups (reference: optimizer.param_groups factory,
+        # lightning.py:179-186) ===
+        # config-native form: optimizer carries ``param_groups: [{paths:
+        # [dotted.prefix, ...], <optimizer overrides e.g. lr>}, ...]``; leaves
+        # not matched by any group use the base optimizer config.
+        opt_cfg = dict(optimizer) if isinstance(optimizer, dict) else optimizer
+        group_cfgs: List[dict] = []
+        if isinstance(opt_cfg, dict):
+            group_cfgs = list(opt_cfg.pop("param_groups", []) or [])
+        self._param_groups: List[Dict[str, Any]] = []
+        for gi, g in enumerate(group_cfgs):
+            g = dict(g)
+            paths = g.pop("paths")
+            assert isinstance(opt_cfg, dict) and "_target_" in opt_cfg, (
+                "param_groups require a dict optimizer config to override"
             )
-        if lr_scheduler is not None:
-            sched = instantiate(lr_scheduler)
-            base_opt = optax.chain(base_opt, optax.scale_by_schedule(sched))
-        frozen = self.model.frozen_param_paths()
-        if frozen:
-            self._frozen_paths = sorted(frozen)
-            self.optimizer = None  # built per-params in init_state
-            self._base_opt = base_opt
+            merged = {**opt_cfg, **g}
+            self._param_groups.append(
+                {
+                    "name": f"group{gi}",
+                    "paths": tuple(paths),
+                    "opt": _build_optimizer(merged),
+                }
+            )
+        self._base_opt = _build_optimizer(opt_cfg)
+
+        # === LR scheduler ===
+        # two forms, mirroring the reference's lr_scheduler block
+        # (lightning.py:175-219):
+        #  * {"scheduler": {...}, "monitor": ..., "interval": "epoch",
+        #    "frequency": N} -> host-side epoch scheduler (lr_scheduler.py);
+        #    the trainer steps it at epoch end and feeds the resulting scalar
+        #    scale into the jitted train step (no recompilation);
+        #  * a plain optax schedule config/callable -> per-step
+        #    scale_by_schedule inside the optimizer chain.
+        self.lr_scheduler_obj: Optional[LRScheduler] = None
+        self.lr_monitor: Optional[str] = None
+        self.lr_frequency: int = 1
+        self._step_schedule = None
+        if isinstance(lr_scheduler, dict) and "scheduler" in lr_scheduler:
+            self.lr_scheduler_obj = build_scheduler(lr_scheduler["scheduler"])
+            self.lr_monitor = lr_scheduler.get("monitor")
+            self.lr_frequency = int(lr_scheduler.get("frequency", 1))
+            interval = lr_scheduler.get("interval", "epoch")
+            assert interval == "epoch", (
+                "host-side schedulers are epoch-interval; for step-interval "
+                "schedules pass an optax schedule as lr_scheduler directly"
+            )
+        elif lr_scheduler is not None:
+            self._step_schedule = (
+                lr_scheduler if callable(lr_scheduler) else instantiate(lr_scheduler)
+            )
+
+        if len(self.models) == 1:
+            frozen = self.model.frozen_param_paths() or []
         else:
-            self._frozen_paths = []
-            self.optimizer = base_opt
-            self._base_opt = base_opt
+            frozen = [
+                f"{k}.{p}"
+                for k, m in self.models.items()
+                for p in (m.frozen_param_paths() or [])
+            ]
+        self._frozen_paths = sorted(frozen)
+        if self._frozen_paths or self._param_groups:
+            self.optimizer = None  # needs params structure: built in init_state
+        else:
+            self.optimizer = self._wrap_opt(self._base_opt)
 
     # --- state ---------------------------------------------------------
+    def _wrap_opt(self, core: optax.GradientTransformation) -> optax.GradientTransformation:
+        """Global clip (across ALL groups) -> core -> per-step LR schedule."""
+        parts: List[optax.GradientTransformation] = []
+        if self.gradient_clip_val is not None:
+            parts.append(optax.clip_by_global_norm(float(self.gradient_clip_val)))
+        parts.append(core)
+        if self._step_schedule is not None:
+            parts.append(optax.scale_by_schedule(self._step_schedule))
+        return optax.chain(*parts) if len(parts) > 1 else parts[0]
+
     def _opt_for(self, params) -> optax.GradientTransformation:
-        if not self._frozen_paths:
-            return self._base_opt
-        labels = _frozen_label_tree(params, self._frozen_paths)
-        return optax.multi_transform(
-            {"trainable": self._base_opt, "frozen": optax.set_to_zero()}, labels
-        )
+        if not (self._frozen_paths or self._param_groups):
+            return self._wrap_opt(self._base_opt)
+
+        transforms = {"default": self._base_opt, "frozen": optax.set_to_zero()}
+        for g in self._param_groups:
+            transforms[g["name"]] = g["opt"]
+
+        def label_of_path(path: str) -> str:
+            # frozen wins over groups; first matching group wins
+            if _path_matches(path, self._frozen_paths):
+                return "frozen"
+            for g in self._param_groups:
+                if _path_matches(path, g["paths"]):
+                    return g["name"]
+            return "default"
+
+        labels = _label_tree(params, label_of_path)
+        return self._wrap_opt(optax.multi_transform(transforms, labels))
 
     def init_state(self, rng=None) -> TrainState:
-        params = self.model.init(
-            rng if rng is not None else jax.random.PRNGKey(self.seed)
-        )
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+        if len(self.models) == 1:
+            params = self.model.init(rng)
+        else:
+            # multi-model: params keyed by model name (the reference's
+            # ModuleDict state_dict structure, lightning.py:90-91)
+            keys = jax.random.split(rng, len(self.models))
+            params = {
+                k: m.init(kk) for (k, m), kk in zip(self.models.items(), keys)
+            }
         opt = self._opt_for(params)
         self.optimizer = opt
         return TrainState(
@@ -145,10 +251,25 @@ class NequIPTrainModule:
     def evaluation_params(self, state: TrainState):
         return state.params
 
+    # --- epoch LR scheduler hook (called by the trainer at epoch end) ---
+    def lr_scheduler_epoch_end(self, epoch: int, metrics: Dict[str, float]):
+        """Step the host-side scheduler; returns the new LR scale (or None)."""
+        if self.lr_scheduler_obj is None:
+            return None
+        if (epoch + 1) % self.lr_frequency != 0:
+            return self.lr_scheduler_obj.scale
+        metric = metrics.get(self.lr_monitor) if self.lr_monitor else None
+        return self.lr_scheduler_obj.step(metric)
+
     # --- steps ---------------------------------------------------------
     def make_train_step(self, axis_name: Optional[str] = None) -> Callable:
         model, loss_mgr = self.model, self.loss
         assert loss_mgr is not None, "training requires a loss"
+        assert len(self.models) == 1, (
+            "the standard train step serves the sole model; true multi-model "
+            "training overrides make_train_step in a subclass (the reference's "
+            "forward() likewise only serves sole_model, lightning.py:221-226)"
+        )
 
         # force/stress losses differentiate through ForceStressOutput's
         # jax.grad — second-order AD does not flow through the fused Pallas
@@ -178,7 +299,7 @@ class NequIPTrainModule:
 
             _check(model)
 
-        def train_step(state: TrainState, batch: dict, loss_coeffs=None):
+        def train_step(state: TrainState, batch: dict, loss_coeffs=None, lr_scale=None):
             def loss_fn(params):
                 out = model(params, batch)
                 bs = loss_mgr.batch_state(out, batch)
@@ -209,6 +330,11 @@ class NequIPTrainModule:
                 updates, opt_state = self.optimizer.update(
                     grads, state.opt_state, state.params
                 )
+            if lr_scale is not None:
+                # epoch-scheduler scale (host-computed, traced scalar): for
+                # LR-proportional updates (sgd/adam/...) multiplying the final
+                # update equals scaling the learning rate
+                updates = jax.tree.map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 step=state.step + 1,
