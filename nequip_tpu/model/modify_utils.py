@@ -78,6 +78,50 @@ def disable_TPUFusedTPScatter(model, params):
     return model, params
 
 
+@model_modifier(persistent=False)
+def modify_model_dtype(model, params, model_dtype: str):
+    """Rebuild the model under a different compute dtype, keeping weights.
+
+    TPU-native acceleration analog of the reference's TF32 switching
+    (``utils/global_state.py:66-186``, ``train/callbacks/tf32_scheduler.py``):
+    on TPU the fast mode is bfloat16 on the MXU rather than TF32 tensor cores.
+
+    The model is re-instantiated from its ``model_config`` under the new
+    ``model_dtype`` context, and every weight is cast to the dtype a native
+    build of that model would have — i.e. hot-path weights flip to bf16 while
+    modules that intentionally hold higher-precision state (e.g. the final
+    scale/shift readout accumulates in the global dtype) keep it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.config import instantiate
+
+    cfg = dict(getattr(model, "model_config", None) or {})
+    assert cfg.get("_target_"), (
+        "modify_model_dtype requires a builder-built model (model.model_config)"
+    )
+    cfg["model_dtype"] = model_dtype
+    new_model = instantiate(cfg, _recursive_=False)
+    template = new_model.init(jax.random.PRNGKey(0))
+    new_params = jax.tree.map(
+        lambda t, p: jnp.asarray(p, dtype=t.dtype), template, params
+    )
+    return new_model, new_params
+
+
+@model_modifier(persistent=False)
+def enable_bf16_fast_mode(model, params):
+    """bf16 'fast MD' mode: ~1.4x inference/MD throughput at 23k atoms.
+
+    Forces stay accurate (error ~bf16 epsilon relative to the local force
+    scale, independent of system size — per-atom quantities don't accumulate);
+    absolute total energies of very large systems lose precision in the sum.
+    Combine with ``enable_TPUFusedTPScatter`` for the fastest MD path.
+    """
+    return modify_model_dtype(model, params, model_dtype="bfloat16")
+
+
 @model_modifier(persistent=True)
 def modify_PerTypeScaleShift(
     model,

@@ -157,3 +157,45 @@ def test_modify_per_type_scale_shift(ckpt):
     e1 = float(fwd(params, data)[0, 0])
     # the shift is REPLACED: 32 atoms x (10 - old_shift)
     np.testing.assert_allclose(e1 - e0, 32 * (10.0 - old_shift), rtol=1e-9)
+
+
+def test_bf16_fast_mode_modifier(ckpt):
+    """bf16 'fast MD' mode: hot weights flip to bf16, forces stay accurate."""
+    import jax.numpy as jnp
+
+    from nequip_tpu.model import ModelFromCheckpoint, modify
+    from nequip_tpu.data.dataset import LJTestDataset
+    from nequip_tpu.data import compute_neighborlist_, batched_from_list, pad_batch, to_device
+    from nequip_tpu.data.transforms import ChemicalSpeciesToAtomTypeMapper
+
+    path, _ = ckpt
+    model, params = ModelFromCheckpoint(path)
+    ds = LJTestDataset(
+        num_frames=1, seed=7, transforms=[ChemicalSpeciesToAtomTypeMapper(["Cu"])]
+    )
+    data = to_device(
+        pad_batch(
+            batched_from_list([compute_neighborlist_(ds[0], 4.0)]), 128, 1024, 2
+        )
+    )
+    f_ref = np.asarray(jax.jit(model)(params, data)[_keys.FORCE_KEY], dtype=np.float64)
+
+    model16, params16 = modify(model, params, [{"modifier": "enable_bf16_fast_mode"}])
+    # activations now flow in bf16 (master weights stay high-precision and
+    # are cast at apply time — XLA fuses the cast into the matmuls)
+    assert model16.metadata["model_dtype"] == "bfloat16"
+    out = jax.jit(model16)(params16, data)
+    f16 = np.asarray(out[_keys.FORCE_KEY], dtype=np.float64)
+    scale = np.abs(f_ref).max()
+    assert scale > 0
+    # bf16 has ~3 decimal digits; forces should agree to ~1% of the force scale
+    assert np.abs(f16 - f_ref).max() < 0.02 * scale, (
+        np.abs(f16 - f_ref).max(), scale
+    )
+
+    # round-trip back to float32 recovers near-exact numerics
+    model32, params32 = modify(
+        model16, params16, [{"modifier": "modify_model_dtype", "model_dtype": "float32"}]
+    )
+    f32 = np.asarray(jax.jit(model32)(params32, data)[_keys.FORCE_KEY], dtype=np.float64)
+    assert np.abs(f32 - f_ref).max() < 0.02 * scale
