@@ -25,9 +25,11 @@ vanishes exactly; padding slots introduced by the tile alignment get
 ``rel_dst = -1`` and never hit a row of S.
 
 The public entry ``fused_tp_scatter`` is a ``jax.custom_vjp``: the forward
-runs this kernel; the backward recomputes through the XLA reference path
-(exact same math), so first-order force evaluation (MD inference) gets the
-fused kernel while gradients stay exact.
+runs this kernel; the backward is a native Pallas kernel producing per-edge
+cotangents tile-by-tile.  The backward is itself a ``custom_vjp`` whose VJP
+is written in terms of the forward and backward kernels (the trilinear
+family is closed under differentiation — see ``_make_fused_uncached``), so
+reverse-over-reverse AD (force-loss *training*) also runs fully fused.
 """
 
 from __future__ import annotations
@@ -706,25 +708,78 @@ def fused_tp_scatter(
 
 
 def _make_fused_uncached(tp, num_nodes, rows, block_e, has_mask):
+    """Build the fused op F and its kernel backward B, *closed under AD*.
+
+    Write ``F(x, y, w) = scatter_dst(TP(x[src], y, w))`` — trilinear in
+    (x, y, w) for a fixed graph — and ``B(x, y, w, g) = (dx, dy, dw)`` its
+    VJP (the native backward kernel).  Because F is trilinear, every VJP of B
+    is again expressible in F and B:
+
+        <dx,cx> + <dy,cy> + <dw,cw>
+            = <g, F(cx,y,w)> + <g, F(x,cy,w)> + <g, F(x,y,cw)>
+
+    so  dg = F(cx,y,w) + F(x,cy,w) + F(x,y,cw)  (three forward kernels) and
+    the input cotangents are components of B with one operand substituted by
+    its co-output's cotangent (three backward kernels).  Registering this as
+    B's custom_vjp closes the family under differentiation **to all orders**:
+    force-loss training (reverse-over-reverse) runs entirely on the fused
+    kernels — no XLA TP fallback (the reference gets the same property from
+    torch.autograd.Function pairs in its OEQ/cuEq wrappers).
+    """
+
+    def _mask_or_none(edge_mask):
+        return edge_mask if has_mask else None
+
     @jax.custom_vjp
     def fused(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask):
         return _forward(
             tp, x, edge_attr, edge_weight, edge_dst, edge_src,
-            edge_mask if has_mask else None, num_nodes, rows, block_e,
+            _mask_or_none(edge_mask), num_nodes, rows, block_e,
         )
 
+    @jax.custom_vjp
+    def fused_bwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g):
+        plan = _TPPlan(tp)
+        return _backward_kernel_call(
+            tp, plan, x, edge_attr, edge_weight, edge_dst, edge_src,
+            _mask_or_none(edge_mask), num_nodes, rows, block_e, g,
+        )
+
+    # ---- F's VJP: the native backward kernel --------------------------
     def fwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask):
         out = fused(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask)
         return out, (x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask)
 
     def bwd(res, g):
         x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask = res
-        plan = _TPPlan(tp)
-        dx, dy, dw = _backward_kernel_call(
-            tp, plan, x, edge_attr, edge_weight, edge_dst, edge_src,
-            edge_mask if has_mask else None, num_nodes, rows, block_e, g,
+        dx, dy, dw = fused_bwd(
+            x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g
         )
         return dx, dy, dw, None, None, None
 
     fused.defvjp(fwd, bwd)
+
+    # ---- B's VJP: three F calls + three B calls (closure under AD) ----
+    def bwd_fwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g):
+        out = fused_bwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g)
+        return out, (x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g)
+
+    def bwd_bwd(res, cts):
+        x, y, w, edge_dst, edge_src, edge_mask, g = res
+        cx, cy, cw = cts  # cotangents of (dx, dy, dw)
+        graph = (edge_dst, edge_src, edge_mask)
+        dg = (
+            fused(cx, y, w, *graph)
+            + fused(x, cy, w, *graph)
+            + fused(x, y, cw, *graph)
+        )
+        b1 = fused_bwd(cx, y, w, *graph, g)  # terms with x -> cx
+        b2 = fused_bwd(x, cy, w, *graph, g)  # terms with y -> cy
+        b3 = fused_bwd(x, y, cw, *graph, g)  # terms with w -> cw
+        dx = b2[0] + b3[0]
+        dy = b1[1] + b3[1]
+        dw = b1[2] + b2[2]
+        return dx, dy, dw, None, None, None, dg
+
+    fused_bwd.defvjp(bwd_fwd, bwd_bwd)
     return fused

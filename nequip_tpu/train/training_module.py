@@ -272,8 +272,9 @@ class NequIPTrainModule:
         )
 
         # force/stress losses differentiate through ForceStressOutput's
-        # jax.grad — second-order AD does not flow through the fused Pallas
-        # kernels' custom_vjp, so training must use the XLA TP path
+        # jax.grad (reverse-over-reverse). The 'pallas' fused kernel family is
+        # closed under differentiation (ops/pallas/tp_scatter.py) so it trains
+        # fine; only the radial-MLP-in-kernel variant is first-order.
         from ..data import _keys as _k
         from ..nn.tp_scatter import TensorProductScatter
 
@@ -284,10 +285,11 @@ class NequIPTrainModule:
         if uses_derivative_loss:
             def _check(m):
                 if isinstance(m, TensorProductScatter):
-                    assert m.impl == "xla", (
+                    assert m.impl in ("xla", "pallas"), (
                         "training with force/stress losses requires "
-                        "tp_impl='xla' (the fused Pallas kernels are "
-                        "first-order only; they are for inference/MD)"
+                        "tp_impl='xla' or 'pallas' (the fully-fused "
+                        "'pallas_fused' variant is first-order only; it is "
+                        "for inference/MD)"
                     )
                 if hasattr(m, "module_dict"):
                     for v in m.module_dict.values():

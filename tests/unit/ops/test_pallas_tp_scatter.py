@@ -148,3 +148,52 @@ def test_fused_mlp_variant_parity_and_grads(setup):
         np.testing.assert_allclose(
             np.asarray(gf[2][k]), np.asarray(gr[2][k]), atol=1e-8, err_msg=k
         )
+
+
+def test_second_order_parity(setup):
+    """Reverse-over-reverse through the fused kernels == XLA reference.
+
+    This is the force-loss training pattern: an inner vjp (forces) whose
+    result feeds a scalar loss that is differentiated again. The fused op's
+    backward is itself custom_vjp'd in terms of the kernel family
+    (closure under differentiation), so no XLA TP fallback is needed.
+    """
+    tp, x, y, w, dst, src, mask, N = setup
+    r = np.random.RandomState(42)
+    gref = jnp.asarray(r.standard_normal((N, tp.irreps_out.dim)))
+    tgt = jnp.asarray(r.standard_normal(y.shape))
+
+    def make_force_loss(op):
+        def force_loss(x, y, w):
+            # "forces": cotangent of y (positions enter via the SH in the
+            # real model), from an inner reverse pass
+            _, vjp = jax.vjp(lambda yy: op(x, yy, w), y)
+            (fy,) = vjp(gref)
+            return jnp.sum((fy - tgt) ** 2) + jnp.sum(fy * y)
+        return force_loss
+
+    fused_op = lambda xx, yy, ww: fused_tp_scatter(tp, xx, yy, ww, dst, src, mask, N)
+    ref_op = lambda xx, yy, ww: _reference(tp, xx, yy, ww, dst, src, mask, N)
+
+    lf = make_force_loss(fused_op)
+    lr = make_force_loss(ref_op)
+    np.testing.assert_allclose(float(lf(x, y, w)), float(lr(x, y, w)), rtol=1e-10)
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(x, y, w)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(x, y, w)
+    for a, b, name in zip(gf, gr, "xyw"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9,
+            err_msg=f"2nd-order cotangent mismatch for {name}",
+        )
+
+
+def test_third_order_runs(setup):
+    """The family is closed at every order: grad^3 traces and is finite."""
+    tp, x, y, w, dst, src, mask, N = setup
+
+    def e(yy):
+        return jnp.sum(fused_tp_scatter(tp, x, yy, w, dst, src, mask, N) ** 2)
+
+    g3 = jax.grad(lambda yy: jnp.sum(jax.grad(lambda z: jnp.sum(jax.grad(e)(z) ** 2))(yy) ** 2))(y)
+    assert np.all(np.isfinite(np.asarray(g3)))
