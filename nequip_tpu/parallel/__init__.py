@@ -4,6 +4,12 @@ from .dp import (
     stack_microbatches,
     shard_batch_for_dp,
 )
+from .ghost import (
+    ShardedGraphEvaluator,
+    spatial_partition,
+    enable_MeshGhostExchange,
+    disable_MeshGhostExchange,
+)
 
 __all__ = [
     "make_mesh",
@@ -11,4 +17,8 @@ __all__ = [
     "DataParallel",
     "stack_microbatches",
     "shard_batch_for_dp",
+    "ShardedGraphEvaluator",
+    "spatial_partition",
+    "enable_MeshGhostExchange",
+    "disable_MeshGhostExchange",
 ]

@@ -220,6 +220,27 @@ def enable_MeshGhostExchange(model, axis_name: str, n_local_cap: int):
     return model
 
 
+def disable_MeshGhostExchange(model):
+    """Restore the no-op ghost exchange (single-device use of the model)."""
+    from ..nn.interaction_block import InteractionBlock
+
+    def visit(m):
+        if isinstance(m, InteractionBlock) and isinstance(
+            m.ghost_exchange, MeshGhostExchange
+        ):
+            m.ghost_exchange = NoOpGhostExchange(field=_keys.NODE_FEATURES_KEY)
+        if hasattr(m, "module_dict"):
+            for v in m.module_dict.values():
+                visit(v)
+        for attr in ("model", "func", "conv"):
+            v = getattr(m, attr, None)
+            if v is not None and hasattr(v, "irreps_in"):
+                visit(v)
+
+    visit(model)
+    return model
+
+
 # ---------------------------------------------------------------------------
 # sharded forward: energy + local forces
 # ---------------------------------------------------------------------------
@@ -327,3 +348,164 @@ class ShardedGraphEvaluator:
             mask = parts["local_mask"][d]
             forces[parts["local_index_global"][d][mask]] = lf[d][mask]
         return float(np.asarray(energy).reshape(-1)[0]), forces
+
+    # ------------------------------------------------------------------
+    # sharded-graph TRAINING: exact global (loss, param-grads) for one
+    # frame too large for a single device
+    # ------------------------------------------------------------------
+    def _sharded_arrays(self, parts, dt):
+        ax = self.axis_name
+        arrs = dict(
+            local_pos=jnp.asarray(parts["local_pos"], dt),
+            local_types=jnp.asarray(parts["local_types"]),
+            local_mask=jnp.asarray(parts["local_mask"]),
+            gdev=jnp.asarray(parts["ghost_owner_dev"]),
+            gidx=jnp.asarray(parts["ghost_owner_idx"]),
+            gshift=jnp.asarray(parts["ghost_shift"], dt),
+            gmask=jnp.asarray(parts["ghost_mask"]),
+            ghost_types=jnp.asarray(parts["ghost_types"]),
+            edge_index=jnp.asarray(parts["edge_index"]),
+            edge_mask=jnp.asarray(parts["edge_mask"]),
+        )
+        return {
+            k: jax.device_put(v, NamedSharding(self.mesh, P(ax)))
+            for k, v in arrs.items()
+        }
+
+    def loss_and_grad(
+        self,
+        frame: dict,
+        energy_ref: float,
+        forces_ref,
+        energy_coeff: float = 1.0,
+        force_coeff: float = 1.0,
+    ):
+        """Exact (loss, param-gradients) for one spatially-sharded frame.
+
+        Loss (single-device semantics, computed exactly under sharding):
+
+            L = energy_coeff * ((E - E_ref) / N)^2
+              + force_coeff  * mean_{i,a} (F_ia - F_ref_ia)^2
+
+        Gradient strategy (see the module docstring / evaluate()): each
+        device differentiates only *local* quantities — the per-device energy
+        sum and the force error over locally-owned atoms — so the collective
+        VJPs (all_gather -> scatter-reduce) route cross-device contributions
+        exactly once, and one final ``psum`` over the replicated params gives
+        the exact global gradient.  The global energy term is handled by the
+        linearization  d(de^2)/dtheta = (2 de / N) * dE_total/dtheta  with
+        ``de`` stop-gradiented (it is itself a psum; differentiating through
+        it would double-count).
+
+        The inner force pass composes with the outer parameter gradient
+        (reverse-over-reverse); with tp_impl='pallas' this runs on the fused
+        kernels (the family is closed under AD — ops/pallas/tp_scatter.py).
+
+        This extends the reference's ghost-exchange machinery (inference via
+        LAMMPS, ``nn/_ghost_exchange_*.py``) to training — enabled on TPU by
+        SPMD autodiff over the mesh.
+        """
+        parts = self.prepare(frame)
+        caps = self._caps
+        ax = self.axis_name
+        n_dev = self.mesh.shape[ax]
+        L = caps["L"]
+        n_atoms = int(parts["local_mask"].sum())
+
+        from ..utils.global_state import global_dtype
+
+        dt = global_dtype()
+        fr = np.asarray(forces_ref, dtype=np.float64)
+        f_ref = np.zeros((n_dev, L, 3))
+        for d in range(n_dev):
+            m = parts["local_mask"][d]
+            f_ref[d][m] = fr[parts["local_index_global"][d][m]]
+        f_ref_sh = jax.device_put(
+            jnp.asarray(f_ref, dt), NamedSharding(self.mesh, P(ax))
+        )
+        sharded = self._sharded_arrays(parts, dt)
+
+        key = (tuple(sorted(caps.items())), float(energy_coeff), float(force_coeff))
+        if not hasattr(self, "_lg_cache"):
+            self._lg_cache = {}
+        if key not in self._lg_cache:
+            self._lg_cache[key] = self._build_loss_and_grad(
+                caps, float(energy_coeff), float(force_coeff), n_atoms
+            )
+        loss, grads = self._lg_cache[key](
+            self.params, jnp.asarray(float(energy_ref), dt), sharded, f_ref_sh
+        )
+        return loss, grads
+
+    def _build_loss_and_grad(self, caps, ce, cf, n_atoms):
+        ax = self.axis_name
+        model = self.model
+        energy_net = model.model.func
+        L, G = caps["L"], caps["G"]
+
+        def device_fn(params, e_ref, a, f_ref_loc):
+            local_pos = a["local_pos"]
+            local_mask = a["local_mask"]
+            gmask = a["gmask"]
+
+            def energy_of(pos_local, p):
+                all_pos = jax.lax.all_gather(pos_local, ax)
+                ghost_pos = all_pos[a["gdev"], a["gidx"]] + a["gshift"].astype(
+                    pos_local.dtype
+                )
+                pos_full = jnp.concatenate([pos_local, ghost_pos], axis=0)
+                types_full = jnp.concatenate([a["local_types"], a["ghost_types"]])
+                data = {
+                    _keys.POSITIONS_KEY: pos_full,
+                    _keys.ATOM_TYPE_KEY: types_full,
+                    _keys.EDGE_INDEX_KEY: a["edge_index"],
+                    _keys.EDGE_MASK_KEY: a["edge_mask"],
+                    _keys.NODE_MASK_KEY: jnp.concatenate([local_mask, gmask]),
+                    _keys.BATCH_KEY: jnp.zeros(L + G, dtype=jnp.int32),
+                    _keys.NUM_NODES_KEY: jnp.array([L + G], dtype=jnp.int32),
+                    _keys.FRAME_MASK_KEY: jnp.ones(1, dtype=bool),
+                    GHOST_OWNER_DEV_KEY: a["gdev"],
+                    GHOST_OWNER_IDX_KEY: a["gidx"],
+                    "ghost_mask": gmask,
+                }
+                out = energy_net(p, data)
+                e_atom = out[_keys.PER_ATOM_ENERGY_KEY][:L].reshape(-1)
+                return jnp.sum(jnp.where(local_mask, e_atom, 0.0))
+
+            def surrogate(p):
+                e_local, neg_f = jax.value_and_grad(energy_of, argnums=0)(
+                    local_pos, p
+                )
+                forces = -neg_f
+                e_total = jax.lax.psum(e_local, ax)
+                de = (e_total - e_ref) / n_atoms
+                fe = jnp.where(local_mask[:, None], forces - f_ref_loc, 0.0)
+                sse_f = jnp.sum(fe * fe)
+                sur = (
+                    ce * 2.0 * jax.lax.stop_gradient(de) / n_atoms * e_local
+                    + cf * sse_f / (3.0 * n_atoms)
+                )
+                return sur, (de, sse_f)
+
+            (_, (de, sse_f)), g = jax.value_and_grad(surrogate, has_aux=True)(
+                params
+            )
+            g = jax.lax.psum(g, ax)
+            loss = ce * de**2 + cf * jax.lax.psum(sse_f, ax) / (3.0 * n_atoms)
+            return loss, g
+
+        arr_keys = [
+            "local_pos", "local_types", "local_mask", "gdev", "gidx",
+            "gshift", "gmask", "ghost_types", "edge_index", "edge_mask",
+        ]
+        in_specs = (P(), P(), {k: P(ax) for k in arr_keys}, P(ax))
+        smapped = _shard_map(
+            lambda p, e_ref, a, f_ref_loc: device_fn(
+                p, e_ref, {k: v[0] for k, v in a.items()}, f_ref_loc[0]
+            ),
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(smapped)

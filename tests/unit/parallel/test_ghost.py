@@ -71,3 +71,66 @@ def test_sharded_matches_single_device(setup):
 
     np.testing.assert_allclose(e_sh, e_ref, rtol=1e-12)
     np.testing.assert_allclose(f_sh, f_ref, atol=1e-12)
+
+
+def test_sharded_training_grads_match_single_device(setup):
+    """Sharded-graph TRAINING: exact global loss + param grads vs one device."""
+    import jax.numpy as jnp
+
+    model, params, frame = setup
+    n = 64
+    ce, cf = 1.0, 0.7
+
+    # synthetic targets
+    r = np.random.RandomState(5)
+    e_ref = -20.0
+    f_ref = r.standard_normal((n, 3))
+
+    # --- single-device reference loss/grads -----------------------------
+    # (an earlier test's evaluator swapped in MeshGhostExchange; restore)
+    from nequip_tpu.parallel.ghost import disable_MeshGhostExchange
+
+    disable_MeshGhostExchange(model)
+    ref_frame = compute_neighborlist_(dict(frame), 4.0)
+    data = to_device(pad_batch(batched_from_list([ref_frame]), 128, 4096, 2))
+    mask = np.asarray(data[_keys.NODE_MASK_KEY])
+    f_ref_pad = np.zeros((mask.shape[0], 3))
+    f_ref_pad[: n] = f_ref
+
+    def loss_single(p):
+        out = model(p, data)
+        e = out[_keys.TOTAL_ENERGY_KEY][0, 0]
+        de = (e - e_ref) / n
+        fe = jnp.where(jnp.asarray(mask)[:, None], out[_keys.FORCE_KEY] - f_ref_pad, 0.0)
+        return ce * de**2 + cf * jnp.sum(fe * fe) / (3.0 * n)
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss_single))(params)
+
+    # --- sharded over 8 virtual devices ---------------------------------
+    from nequip_tpu.parallel.ghost import ShardedGraphEvaluator
+
+    mesh = make_mesh((8,), ("graph",))
+    ev = ShardedGraphEvaluator(model, params, mesh=mesh, axis_name="graph")
+    l_sh, g_sh = ev.loss_and_grad(
+        frame, e_ref, f_ref, energy_coeff=ce, force_coeff=cf
+    )
+
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11, rtol=1e-9)
+
+    # --- a few optimizer steps reduce the sharded loss -------------------
+    import optax
+
+    opt = optax.adam(3e-3)
+    p = params
+    ost = opt.init(p)
+    losses = [float(l_sh)]
+    g = g_sh
+    for _ in range(3):
+        upd, ost = opt.update(g, ost, p)
+        p = optax.apply_updates(p, upd)
+        ev.params = p
+        l, g = ev.loss_and_grad(frame, e_ref, f_ref, energy_coeff=ce, force_coeff=cf)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
