@@ -7,7 +7,7 @@ parameters, an example batch, and framework version metadata — which is
 sufficient to reconstruct the model exactly (builders are deterministic
 functions of their config + seed).
 
-Subcommands: build / info.
+Subcommands: build / info / list / diff / update / modify.
 """
 
 from __future__ import annotations
@@ -48,12 +48,25 @@ def build(args) -> None:
         "nequip_tpu_version": __version__,
         **{k: str(v) for k, v in model.metadata.items()},
     }
+    outputs = None
+    if example is not None:
+        # baseline predictions: `nequip-package update` verifies against these
+        from ..data import _keys, to_device
+
+        out = jax.jit(model)(params, to_device(example))
+        outputs = {
+            k: np.asarray(out[k])
+            for k in (_keys.TOTAL_ENERGY_KEY, _keys.FORCE_KEY)
+            if k in out
+        }
     with zipfile.ZipFile(args.output_path, "w") as zf:
         zf.writestr("package_metadata.json", json.dumps(metadata, indent=2))
         zf.writestr("model_config.json", json.dumps(cfg))
         zf.writestr("params.pkl", pickle.dumps(host_params))
         if example is not None:
             zf.writestr("example_data.pkl", pickle.dumps(example))
+        if outputs is not None:
+            zf.writestr("example_outputs.pkl", pickle.dumps(outputs))
     log.info(f"wrote package {args.output_path}")
 
 
@@ -100,6 +113,70 @@ def diff(args) -> None:
             for x, y in zip(la, lb)
         ) if la else 0.0
         print(f"params: max abs diff {worst:.3e}")
+
+
+def update(args) -> None:
+    """Re-emit an archive under the current framework version, verifying
+    predictions are unchanged on the stored example batch.
+
+    Parity: ``nequip-package update``
+    (``/root/reference/nequip/scripts/package.py``, format-version log
+    ``:52-64``): the reference swaps the interned code snapshot and re-checks
+    outputs; here the "code" is the installed framework, so update =
+    rebuild-from-config under the current version + numeric self-check.
+    """
+    import jax
+
+    from .. import __version__
+    from ..model.saved_models import ModelFromPackage
+
+    with zipfile.ZipFile(args.package_path) as zf:
+        meta = json.loads(zf.read("package_metadata.json"))
+        cfg = json.loads(zf.read("model_config.json"))
+        names = set(zf.namelist())
+        example = (
+            pickle.loads(zf.read("example_data.pkl"))
+            if "example_data.pkl" in names
+            else None
+        )
+        old_outputs = (
+            pickle.loads(zf.read("example_outputs.pkl"))
+            if "example_outputs.pkl" in names
+            else None
+        )
+
+    model, params = ModelFromPackage(args.package_path)
+    new_outputs = None
+    if example is not None:
+        from ..data import _keys, to_device
+
+        out = jax.jit(model)(params, to_device(example))
+        new_outputs = {
+            k: np.asarray(out[k])
+            for k in (_keys.TOTAL_ENERGY_KEY, _keys.FORCE_KEY)
+            if k in out
+        }
+        if old_outputs is not None:
+            for k, v in old_outputs.items():
+                np.testing.assert_allclose(
+                    new_outputs[k], v, rtol=1e-6, atol=1e-8,
+                    err_msg=f"package update changed predictions for {k!r}",
+                )
+            log.info("predictions verified unchanged")
+    old_version = meta.get("nequip_tpu_version")
+    meta["nequip_tpu_version"] = __version__
+    meta["package_format_version"] = PACKAGE_FORMAT_VERSION
+    meta.setdefault("updated_from", []).append(old_version)
+    host_params = jax.tree.map(lambda x: np.asarray(x), params)
+    with zipfile.ZipFile(args.output_path, "w") as zf:
+        zf.writestr("package_metadata.json", json.dumps(meta, indent=2))
+        zf.writestr("model_config.json", json.dumps(cfg))
+        zf.writestr("params.pkl", pickle.dumps(host_params))
+        if example is not None:
+            zf.writestr("example_data.pkl", pickle.dumps(example))
+        if new_outputs is not None:
+            zf.writestr("example_outputs.pkl", pickle.dumps(new_outputs))
+    log.info(f"updated package -> {args.output_path}")
 
 
 def modify_cmd(args) -> None:
@@ -155,6 +232,11 @@ def main(argv=None) -> None:
     p_diff.add_argument("package_a")
     p_diff.add_argument("package_b")
     p_diff.set_defaults(func=diff)
+
+    p_upd = sub.add_parser("update")
+    p_upd.add_argument("package_path")
+    p_upd.add_argument("output_path")
+    p_upd.set_defaults(func=update)
 
     p_mod = sub.add_parser("modify")
     p_mod.add_argument("package_path")

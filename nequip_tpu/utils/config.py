@@ -58,6 +58,33 @@ def _big_dataset_stats(dataset: str, r_max, name: str):
     return table[key][str(name)]
 
 
+def _package_metadata(package_path: str) -> dict:
+    import json
+    import zipfile
+
+    with zipfile.ZipFile(package_path) as zf:
+        return json.loads(zf.read("package_metadata.json"))
+
+
+def _type_names_from_package(package_path: str):
+    """Type names recorded in a nequip-package archive (fine-tuning configs).
+
+    Parity: ``type_names_from_package``
+    (``/root/reference/nequip/utils/resolvers.py:107-111``) — reads the
+    archive metadata directly instead of rebuilding the model.
+    """
+    return str(_package_metadata(package_path)["type_names"]).split()
+
+
+def _cutoff_radius_from_package(package_path: str) -> float:
+    """r_max recorded in a nequip-package archive.
+
+    Parity: ``cutoff_radius_from_package``
+    (``/root/reference/nequip/utils/resolvers.py:114-137``).
+    """
+    return float(_package_metadata(package_path)["r_max"])
+
+
 def _builtin_resolvers():
     register_resolver("int_div", lambda a, b: int(a) // int(b), replace=True)
     register_resolver("int_mul", lambda a, b: int(a) * int(b), replace=True)
@@ -73,6 +100,12 @@ def _builtin_resolvers():
         replace=True,
     )
     register_resolver("big_dataset_stats", _big_dataset_stats, replace=True)
+    register_resolver(
+        "type_names_from_package", _type_names_from_package, replace=True
+    )
+    register_resolver(
+        "cutoff_radius_from_package", _cutoff_radius_from_package, replace=True
+    )
 
 
 _builtin_resolvers()

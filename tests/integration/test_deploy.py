@@ -87,6 +87,19 @@ def test_package_roundtrip(ckpt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
     assert m1.metadata == m2.metadata
 
+    # fine-tuning-config resolvers read the archive metadata
+    from nequip_tpu.utils.config import resolve
+
+    assert resolve("${type_names_from_package:" + pkg + "}") == ["Cu"]
+    assert resolve("${cutoff_radius_from_package:" + pkg + "}") == 4.0
+
+    # update re-emits under the current version and self-checks predictions
+    pkg2 = str(tmpdir / "model_pkg_updated.zip")
+    package_main(["update", pkg, pkg2])
+    m3, p3 = ModelFromPackage(pkg2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
 
 def test_md_driver(ckpt):
     from nequip_tpu.model import ModelFromCheckpoint
