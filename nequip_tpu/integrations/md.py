@@ -122,16 +122,6 @@ class MDDriver:
         self._dtype = self._batch[_keys.POSITIONS_KEY].dtype
         self.masses = jnp.asarray(masses, dtype=self._dtype)
 
-        def force_fn_factory(batch_no_pos):
-            def force_fn(pos):
-                d = dict(batch_no_pos)
-                d[_keys.POSITIONS_KEY] = pos
-                out = self.model(self.params, d)
-                return out[_keys.FORCE_KEY][: self._n]
-
-            return force_fn
-
-        self._force_fn_factory = force_fn_factory
         self._compiled_block = None
         self.step_count = 0
 
@@ -153,23 +143,24 @@ class MDDriver:
 
     def _block_fn(self):
         if self._compiled_block is None:
-            batch_rest = {
-                k: v for k, v in self._batch.items() if k != _keys.POSITIONS_KEY
-            }
             pad_n = self._cap[0]
             n = self._n
-            force_fn_padded = None
 
-            def force_fn(pos_real):
+            # the neighborlist rides in as a TRACED argument (batch_rest), not
+            # a closure: same-capacity skin rebuilds then reuse the compiled
+            # block with fresh edges (a closure would silently pin the edges
+            # from compile time)
+            def force_fn(pos_real, batch_rest):
                 pad = jnp.zeros((pad_n - n, 3), dtype=pos_real.dtype)
                 d = dict(batch_rest)
                 d[_keys.POSITIONS_KEY] = jnp.concatenate([pos_real, pad])
                 out = self.model(self.params, d)
                 return out[_keys.FORCE_KEY][:n].astype(pos_real.dtype)
 
-            step = self.integrator.make_step(force_fn, self.masses)
-
-            def block(state):
+            def block(state, batch_rest):
+                step = self.integrator.make_step(
+                    lambda pos: force_fn(pos, batch_rest), self.masses
+                )
                 return jax.lax.fori_loop(
                     0, self.steps_per_block, lambda i, s: step(s), state
                 )
@@ -177,6 +168,10 @@ class MDDriver:
             self._compiled_block = jax.jit(block)
             self._force_fn = jax.jit(force_fn)
         return self._compiled_block
+
+    @property
+    def _batch_rest(self):
+        return {k: v for k, v in self._batch.items() if k != _keys.POSITIONS_KEY}
 
     # ------------------------------------------------------------------
     def run(self, n_steps: int, velocities: Optional[np.ndarray] = None):
@@ -188,13 +183,13 @@ class MDDriver:
             else jnp.zeros_like(pos)
         )
         block = self._block_fn()
-        forces = self._force_fn(pos)
+        forces = self._force_fn(pos, self._batch_rest)
         aux = self.integrator.init_aux()
         state = (pos, vel, forces, aux)
 
         steps_done = 0
         while steps_done < n_steps:
-            state = block(state)
+            state = block(state, self._batch_rest)
             steps_done += self.steps_per_block
             self.step_count += self.steps_per_block
             # skin check (host): rebuild NL when needed
@@ -204,7 +199,7 @@ class MDDriver:
                 self._frame[_keys.POSITIONS_KEY] = cur
                 self._build_neighborlist()
                 block = self._block_fn()
-                forces = self._force_fn(state[0])
+                forces = self._force_fn(state[0], self._batch_rest)
                 state = (state[0], state[1], forces, state[3])
         pos, vel, forces, aux = state
         return {

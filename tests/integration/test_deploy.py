@@ -212,3 +212,45 @@ def test_bf16_fast_mode_modifier(ckpt):
     )
     f32 = np.asarray(jax.jit(model32)(params32, data)[_keys.FORCE_KEY], dtype=np.float64)
     assert np.abs(f32 - f_ref).max() < 0.02 * scale
+
+
+def test_md_skin_rebuild_uses_fresh_edges(ckpt):
+    """Regression: after a same-capacity skin rebuild, the jitted MD block
+    must see the NEW neighborlist (edges ride in as traced arguments, not
+    compile-time closures)."""
+    from nequip_tpu.model import ModelFromCheckpoint
+    from nequip_tpu.integrations import MDDriver, VelocityVerlet
+    from nequip_tpu.data.dataset import LJTestDataset
+    from nequip_tpu.data import compute_neighborlist_, batched_from_list, pad_batch, to_device
+
+    path, _ = ckpt
+    model, params = ModelFromCheckpoint(path)
+    ds = LJTestDataset(num_frames=1, seed=17)
+    frame = {
+        _keys.POSITIONS_KEY: ds.frames[0][_keys.POSITIONS_KEY],
+        _keys.CELL_KEY: ds.frames[0][_keys.CELL_KEY],
+        _keys.PBC_KEY: np.array([True] * 3),
+        _keys.ATOM_TYPE_KEY: np.zeros(32, dtype=int),
+    }
+    # tiny skin -> a rebuild after every block
+    driver = MDDriver(
+        model, params, frame,
+        integrator=VelocityVerlet(dt_fs=2.0),
+        masses=np.full(32, 63.5),
+        skin=1e-6,
+        steps_per_block=5,
+    )
+    r = np.random.RandomState(0)
+    out = driver.run(15, velocities=0.02 * r.standard_normal((32, 3)))
+
+    # fresh from-scratch forces at the final positions must match the
+    # driver's last in-loop forces exactly (same NL cutoff r_max + skin)
+    from nequip_tpu.data import from_dict
+
+    f2 = from_dict(dict(frame))
+    f2[_keys.POSITIONS_KEY] = out["positions"]
+    data = compute_neighborlist_(f2, float(model.r_max) + driver.skin)
+    cap_n, cap_e = driver._cap
+    batch = to_device(pad_batch(batched_from_list([data]), cap_n, cap_e, 2))
+    fresh = np.asarray(jax.jit(model)(params, batch)[_keys.FORCE_KEY])[:32]
+    np.testing.assert_allclose(out["forces"], fresh, rtol=1e-8, atol=1e-10)
