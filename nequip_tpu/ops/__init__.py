@@ -13,6 +13,7 @@ from .scatter import scatter_sum, scatter_mean, masked_gather
 from .radial import polynomial_cutoff, bessel_basis, sinc
 from .mlp import ScalarMLP
 from .activations import normalized_activation, raw_activation, shifted_softplus
+from .device_nl import device_neighbor_list, suggest_grid_dims
 
 __all__ = [
     "Irrep",
@@ -44,4 +45,6 @@ __all__ = [
     "normalized_activation",
     "raw_activation",
     "shifted_softplus",
+    "device_neighbor_list",
+    "suggest_grid_dims",
 ]
