@@ -67,12 +67,19 @@ class ForceStressOutput(GraphModule):
         def energy_fn(pos_in, displacement):
             sym = 0.5 * (displacement + jnp.swapaxes(displacement, -1, -2))
             sym_per_node = jnp.take(sym, batch, axis=0)  # (N, 3, 3)
-            new_pos = pos_in + jnp.einsum("ni,nij->nj", pos_in, sym_per_node)
+            # strain displacement at full precision (TPU default would lower
+            # these f32 einsums to bf16 MXU passes — see graph_utils.py)
+            HI = jax.lax.Precision.HIGHEST
+            new_pos = pos_in + jnp.einsum(
+                "ni,nij->nj", pos_in, sym_per_node, precision=HI
+            )
             inner = dict(data)
             inner[_keys.POSITIONS_KEY] = new_pos
             if has_cell:
                 cell = orig_cell.reshape(-1, 3, 3)
-                inner[_keys.CELL_KEY] = cell + jnp.einsum("fij,fjk->fik", cell, sym)
+                inner[_keys.CELL_KEY] = cell + jnp.einsum(
+                    "fij,fjk->fik", cell, sym, precision=HI
+                )
             out = self.func(params, inner)
             energy = out[_keys.TOTAL_ENERGY_KEY].reshape(-1)
             if _keys.FRAME_MASK_KEY in data:

@@ -7,6 +7,7 @@ positions and cell so ``jax.grad`` of the energy yields forces and virials.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..data import _keys
@@ -28,7 +29,15 @@ def with_edge_vectors(data: dict, with_lengths: bool = True) -> dict:
             shifts = data[_keys.EDGE_CELL_SHIFT_KEY]  # (E, 3)
             edge_batch = jnp.take(data[_keys.BATCH_KEY], edge_index[0], axis=0)
             edge_cell = jnp.take(cell, edge_batch, axis=0)  # (E, 3, 3)
-            vec = vec + jnp.einsum("ei,eij->ej", shifts.astype(vec.dtype), edge_cell)
+            # full precision: the TPU default lowers f32 einsums to bf16 MXU
+            # passes, which would corrupt PBC image offsets (~1e-1 A for a
+            # 65 A box) and with them every force
+            vec = vec + jnp.einsum(
+                "ei,eij->ej",
+                shifts.astype(vec.dtype),
+                edge_cell,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         data = dict(data)
         data[_keys.EDGE_VECTORS_KEY] = vec
     else:
