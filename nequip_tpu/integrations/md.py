@@ -104,13 +104,20 @@ class MDDriver:
         skin: float = 0.5,
         steps_per_block: int = 10,
         pad_multiple: int = 128,
+        nl_backend: str = "host",
     ):
+        """``nl_backend="device"`` rebuilds the neighborlist on the TPU with
+        the jittable cell list (``ops.device_neighbor_list``) — skin rebuilds
+        then never ship positions/edges across the host link.  Requires a
+        periodic box at least ``3 * (r_max + skin)`` thick per axis."""
         self.model = model
         self.params = params
         self.integrator = integrator
         self.skin = float(skin)
         self.steps_per_block = int(steps_per_block)
         self.r_max = float(model.r_max)
+        assert nl_backend in ("host", "device")
+        self.nl_backend = nl_backend
 
         data = from_dict(dict(frame))
         assert _keys.ATOM_TYPE_KEY in data, "frame must carry atom_types"
@@ -119,6 +126,8 @@ class MDDriver:
         if masses is None:
             masses = np.ones(n)
         self._build_neighborlist()
+        if nl_backend == "device":
+            self._setup_device_nl()
         self._dtype = self._batch[_keys.POSITIONS_KEY].dtype
         self.masses = jnp.asarray(masses, dtype=self._dtype)
 
@@ -174,6 +183,68 @@ class MDDriver:
         return {k: v for k, v in self._batch.items() if k != _keys.POSITIONS_KEY}
 
     # ------------------------------------------------------------------
+    # on-device neighborlist rebuilds (nl_backend="device")
+    # ------------------------------------------------------------------
+    def _setup_device_nl(self):
+        """Size the device cell list from the initial host build, then repad
+        the batch to the device layout (edge capacity = n * k_max)."""
+        from functools import partial
+
+        from ..ops.device_nl import device_neighbor_list, suggest_grid_dims
+
+        cell = np.asarray(self._frame[_keys.CELL_KEY]).reshape(3, 3)
+        pbc = np.asarray(self._frame.get(_keys.PBC_KEY, np.ones(3, bool))).reshape(-1)
+        assert pbc.all(), "device NL rebuilds require a fully periodic box"
+        r_build = self.r_max + self.skin
+        dims = suggest_grid_dims(cell, r_build)
+
+        # caps from the observed initial neighborlist, with headroom
+        ei = np.asarray(self._batch[_keys.EDGE_INDEX_KEY])
+        em = np.asarray(self._batch[_keys.EDGE_MASK_KEY])
+        per_atom = np.bincount(ei[0][em], minlength=self._n)
+        k_max = int(round_up(int(per_atom.max() * 1.25) + 1, 8))
+        inv = np.linalg.inv(cell)
+        fw = (np.asarray(self._frame[_keys.POSITIONS_KEY]) @ inv) % 1.0
+        cid = tuple((np.clip((fw[:, i] * dims[i]).astype(int), 0, dims[i] - 1)) for i in range(3))
+        flat = (cid[0] * dims[1] + cid[1]) * dims[2] + cid[2]
+        cell_cap = int(round_up(int(np.bincount(flat).max() * 1.5) + 1, 4))
+
+        self._nl_fn = jax.jit(
+            partial(
+                device_neighbor_list,
+                cell=jnp.asarray(cell, self._batch[_keys.POSITIONS_KEY].dtype),
+                r_max=r_build,
+                grid_dims=dims,
+                cell_cap=cell_cap,
+                k_max=k_max,
+            )
+        )
+        # repad the batch to the device edge layout (capacity = n * k_max,
+        # always >= the host edge count) so rebuilds swap same-shape arrays
+        cap_e = self._n * k_max
+        if cap_e != self._cap[1]:
+            self._cap = (self._cap[0], cap_e)
+            self._compiled_block = None
+            self._build_neighborlist()  # repads the host NL to the new cap
+        self._device_rebuild(jnp.asarray(self._frame[_keys.POSITIONS_KEY]))
+
+    def _device_rebuild(self, pos):
+        """Swap fresh device-NL edges into the batch (no host round-trip)."""
+        edge_index, shifts, mask, overflow = self._nl_fn(pos)
+        assert not bool(overflow), (
+            "device neighborlist capacity overflow — density rose beyond the "
+            "initial headroom; rebuild the MDDriver (or use nl_backend='host')"
+        )
+        b = dict(self._batch)
+        b[_keys.EDGE_INDEX_KEY] = edge_index
+        b[_keys.EDGE_CELL_SHIFT_KEY] = shifts.astype(
+            self._batch[_keys.EDGE_CELL_SHIFT_KEY].dtype
+        )
+        b[_keys.EDGE_MASK_KEY] = mask
+        self._batch = b
+        self._nl_pos = np.asarray(pos)
+
+    # ------------------------------------------------------------------
     def run(self, n_steps: int, velocities: Optional[np.ndarray] = None):
         """Run MD; returns dict with final positions/velocities/forces."""
         pos = jnp.asarray(self._frame[_keys.POSITIONS_KEY], dtype=self._dtype)
@@ -196,8 +267,12 @@ class MDDriver:
             cur = np.asarray(state[0])
             disp = np.linalg.norm(cur - self._nl_pos, axis=1).max()
             if disp > 0.5 * self.skin:
-                self._frame[_keys.POSITIONS_KEY] = cur
-                self._build_neighborlist()
+                if self.nl_backend == "device":
+                    # device-resident rebuild: positions/edges never leave HBM
+                    self._device_rebuild(state[0])
+                else:
+                    self._frame[_keys.POSITIONS_KEY] = cur
+                    self._build_neighborlist()
                 block = self._block_fn()
                 forces = self._force_fn(state[0], self._batch_rest)
                 state = (state[0], state[1], forces, state[3])

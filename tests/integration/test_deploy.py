@@ -254,3 +254,44 @@ def test_md_skin_rebuild_uses_fresh_edges(ckpt):
     batch = to_device(pad_batch(batched_from_list([data]), cap_n, cap_e, 2))
     fresh = np.asarray(jax.jit(model)(params, batch)[_keys.FORCE_KEY])[:32]
     np.testing.assert_allclose(out["forces"], fresh, rtol=1e-8, atol=1e-10)
+
+
+def test_md_device_nl_backend_matches_host(ckpt):
+    """nl_backend="device": device-resident skin rebuilds reproduce the host
+    backend's trajectory (identical edge sets; only summation order differs)."""
+    from nequip_tpu.model import ModelFromCheckpoint
+    from nequip_tpu.integrations import MDDriver, VelocityVerlet
+    from nequip_tpu.data.dataset import LJTestDataset
+
+    path, _ = ckpt
+    model, params = ModelFromCheckpoint(path)
+    # box must be >= 3 grid cells (> 12 A) thick for the device cell list
+    ds = LJTestDataset(supercell=(4, 4, 4), num_frames=1, seed=31)
+    n = ds.frames[0][_keys.POSITIONS_KEY].shape[0]
+    frame = {
+        _keys.POSITIONS_KEY: ds.frames[0][_keys.POSITIONS_KEY],
+        _keys.CELL_KEY: ds.frames[0][_keys.CELL_KEY],
+        _keys.PBC_KEY: np.array([True] * 3),
+        _keys.ATOM_TYPE_KEY: np.zeros(n, dtype=int),
+    }
+    r = np.random.RandomState(3)
+    v0 = 0.02 * r.standard_normal((n, 3))
+
+    outs = {}
+    for backend in ("host", "device"):
+        driver = MDDriver(
+            model, params, dict(frame),
+            integrator=VelocityVerlet(dt_fs=2.0),
+            masses=np.full(n, 63.5),
+            skin=1e-6,  # rebuild after every block -> exercises both paths
+            steps_per_block=5,
+            nl_backend=backend,
+        )
+        outs[backend] = driver.run(15, velocities=v0.copy())
+
+    np.testing.assert_allclose(
+        outs["device"]["positions"], outs["host"]["positions"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        outs["device"]["forces"], outs["host"]["forces"], atol=1e-8
+    )
