@@ -32,9 +32,10 @@ def main():
 
     from __graft_entry__ import _example_model_and_batch
 
-    # auto: v1 fused kernel (materialized radial weights) is fastest when it
-    # fits; the fully-fused variant (radial MLP in-kernel) unlocks 100k+ atoms
-    default_impl = "pallas" if n_atoms <= 50000 else "pallas_fused"
+    # auto: the XLA TP path (with the uvu mul2=1 fast path: outer product +
+    # one CG matmul) is fastest at <=50k atoms on this chip; the fully-fused
+    # Pallas variant (radial MLP in-kernel) unlocks 100k+ atoms
+    default_impl = "xla" if n_atoms <= 50000 else "pallas_fused"
     tp_impl = os.environ.get("NEQUIP_BENCH_TP_IMPL", default_impl)
     remat = os.environ.get("NEQUIP_BENCH_REMAT", "0") == "1"
     model, params, data = _example_model_and_batch(
