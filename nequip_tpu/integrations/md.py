@@ -14,11 +14,14 @@ constants.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+import logging
+from typing import Dict, List, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+log = logging.getLogger("nequip_tpu")
 
 from ..data import _keys, batched_from_list, compute_neighborlist_, from_dict, pad_batch, round_up, to_device
 
@@ -174,8 +177,16 @@ class MDDriver:
                     0, self.steps_per_block, lambda i, s: step(s), state
                 )
 
+            def energy_fn(pos_real, batch_rest):
+                pad = jnp.zeros((pad_n - n, 3), dtype=pos_real.dtype)
+                d = dict(batch_rest)
+                d[_keys.POSITIONS_KEY] = jnp.concatenate([pos_real, pad])
+                out = self.model(self.params, d)
+                return out[_keys.TOTAL_ENERGY_KEY].reshape(-1)[0]
+
             self._compiled_block = jax.jit(block)
             self._force_fn = jax.jit(force_fn)
+            self._energy_fn = jax.jit(energy_fn)
         return self._compiled_block
 
     @property
@@ -245,8 +256,49 @@ class MDDriver:
         self._nl_pos = np.asarray(pos)
 
     # ------------------------------------------------------------------
-    def run(self, n_steps: int, velocities: Optional[np.ndarray] = None):
-        """Run MD; returns dict with final positions/velocities/forces."""
+    def _potential_energy(self, pos) -> float:
+        return float(np.asarray(self._energy_fn(pos, self._batch_rest)))
+
+    def _thermo_row(self, state) -> dict:
+        pos, vel = state[0], state[1]
+        ke = float(0.5 * np.sum(np.asarray(self.masses)[:, None] * np.asarray(vel) ** 2))
+        pe = self._potential_energy(pos)
+        # T from KE (units: eV, amu, A, fs -> K via kB in eV/K and the
+        # eV/(amu A^2/fs^2) conversion 1/103.6427)
+        n_dof = 3 * self._n
+        temp = 2.0 * ke / (n_dof * 8.617333262e-5 * 103.6427)
+        return {
+            "step": self.step_count,
+            "potential_energy": pe,
+            "kinetic_energy": ke,
+            "total_energy": pe + ke,
+            "temperature_K": temp,
+        }
+
+    def _write_xyz_frame(self, fh, state, comment: str):
+        pos = np.asarray(state[0])
+        types = np.asarray(self._frame[_keys.ATOM_TYPE_KEY]).reshape(-1)
+        names = getattr(self.model, "type_names", None) or [
+            str(t) for t in range(int(types.max()) + 1)
+        ]
+        fh.write(f"{self._n}\n{comment}\n")
+        for t, (x, y, z) in zip(types, pos):
+            fh.write(f"{names[int(t)]} {x:.8f} {y:.8f} {z:.8f}\n")
+
+    def run(
+        self,
+        n_steps: int,
+        velocities: Optional[np.ndarray] = None,
+        log_every_blocks: Optional[int] = None,
+        traj_path: Optional[str] = None,
+    ):
+        """Run MD; returns dict with final positions/velocities/forces.
+
+        ``log_every_blocks=k`` records a thermo row (PE/KE/total E/T) every k
+        blocks into the returned ``thermo`` list (the LAMMPS-thermo analog for
+        the native driver); ``traj_path`` appends an (extended) XYZ frame at
+        the same cadence.
+        """
         pos = jnp.asarray(self._frame[_keys.POSITIONS_KEY], dtype=self._dtype)
         vel = (
             jnp.asarray(velocities, dtype=self._dtype)
@@ -258,11 +310,29 @@ class MDDriver:
         aux = self.integrator.init_aux()
         state = (pos, vel, forces, aux)
 
+        thermo: List[dict] = []
+        traj_fh = open(traj_path, "a") if traj_path is not None else None
+        n_blocks = 0
+        if log_every_blocks:
+            thermo.append(self._thermo_row(state))
+            if traj_fh:
+                self._write_xyz_frame(traj_fh, state, f"step={self.step_count}")
+
         steps_done = 0
         while steps_done < n_steps:
             state = block(state, self._batch_rest)
             steps_done += self.steps_per_block
             self.step_count += self.steps_per_block
+            n_blocks += 1
+            if log_every_blocks and n_blocks % log_every_blocks == 0:
+                row = self._thermo_row(state)
+                thermo.append(row)
+                log.info(
+                    f"MD step {row['step']}: PE={row['potential_energy']:.6f} "
+                    f"KE={row['kinetic_energy']:.6f} T={row['temperature_K']:.1f}K"
+                )
+                if traj_fh:
+                    self._write_xyz_frame(traj_fh, state, f"step={self.step_count}")
             # skin check (host): rebuild NL when needed
             cur = np.asarray(state[0])
             disp = np.linalg.norm(cur - self._nl_pos, axis=1).max()
@@ -276,6 +346,8 @@ class MDDriver:
                 block = self._block_fn()
                 forces = self._force_fn(state[0], self._batch_rest)
                 state = (state[0], state[1], forces, state[3])
+        if traj_fh:
+            traj_fh.close()
         pos, vel, forces, aux = state
         return {
             "positions": np.asarray(pos),
@@ -285,4 +357,5 @@ class MDDriver:
             "kinetic_energy": float(
                 0.5 * np.sum(np.asarray(self.masses)[:, None] * np.asarray(vel) ** 2)
             ),
+            "thermo": thermo,
         }

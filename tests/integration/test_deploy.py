@@ -295,3 +295,46 @@ def test_md_device_nl_backend_matches_host(ckpt):
     np.testing.assert_allclose(
         outs["device"]["forces"], outs["host"]["forces"], atol=1e-8
     )
+
+
+def test_md_thermo_and_trajectory(ckpt, tmp_path):
+    """Thermo rows (PE/KE/E/T) and XYZ trajectory at a block cadence."""
+    from nequip_tpu.model import ModelFromCheckpoint
+    from nequip_tpu.integrations import MDDriver, NoseHoover
+    from nequip_tpu.data.dataset import LJTestDataset
+
+    path, _ = ckpt
+    model, params = ModelFromCheckpoint(path)
+    ds = LJTestDataset(num_frames=1, seed=55)
+    frame = {
+        _keys.POSITIONS_KEY: ds.frames[0][_keys.POSITIONS_KEY],
+        _keys.CELL_KEY: ds.frames[0][_keys.CELL_KEY],
+        _keys.PBC_KEY: np.array([True] * 3),
+        _keys.ATOM_TYPE_KEY: np.zeros(32, dtype=int),
+    }
+    traj = str(tmp_path / "traj.xyz")
+    driver = MDDriver(
+        model, params, frame,
+        integrator=NoseHoover(dt_fs=1.0, temperature_K=300.0),
+        masses=np.full(32, 63.5),
+        steps_per_block=5,
+    )
+    out = driver.run(15, log_every_blocks=1, traj_path=traj)
+
+    # initial row + one per block
+    assert len(out["thermo"]) == 4
+    for row in out["thermo"]:
+        assert np.isfinite(row["potential_energy"])
+        assert row["total_energy"] == pytest.approx(
+            row["potential_energy"] + row["kinetic_energy"]
+        )
+        assert row["temperature_K"] >= 0
+    # thermostat heats the system from zero velocities
+    assert out["thermo"][-1]["temperature_K"] > out["thermo"][0]["temperature_K"]
+    assert [r["step"] for r in out["thermo"]] == [0, 5, 10, 15]
+
+    with open(traj) as f:
+        lines = f.read().strip().splitlines()
+    # 4 frames x (2 header lines + 32 atoms)
+    assert len(lines) == 4 * 34
+    assert lines[0] == "32" and lines[2].startswith("Cu ")
