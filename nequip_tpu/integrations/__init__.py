@@ -1,5 +1,5 @@
 from .calculator import NequIPCalculator
-from .md import MDDriver, NoseHoover, VelocityVerlet
+from .md import MDDriver, NoseHoover, VelocityVerlet, maxwell_boltzmann_velocities
 from .pair_style import NequIPPairStyleWrapper
 from .batched import NequIPBatchedInference
 
@@ -7,6 +7,7 @@ __all__ = [
     "NequIPCalculator",
     "MDDriver",
     "NoseHoover",
+    "maxwell_boltzmann_velocities",
     "VelocityVerlet",
     "NequIPPairStyleWrapper",
     "NequIPBatchedInference",

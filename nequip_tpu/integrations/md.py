@@ -30,6 +30,29 @@ FS = 0.09822694750253231  # 1 fs in sqrt(amu A^2 / eV)
 KB = 8.617330337217213e-05  # eV / K
 
 
+def maxwell_boltzmann_velocities(
+    masses,
+    temperature_K: float,
+    seed: int = 0,
+    zero_momentum: bool = True,
+) -> np.ndarray:
+    """Velocities drawn from a Maxwell-Boltzmann distribution (ASE units).
+
+    Parity: ``ase.md.velocitydistribution.MaxwellBoltzmannDistribution`` as
+    used in the reference's MD workflows.  Returned velocities are in A per
+    ASE time unit, so ``0.5 * m * v**2`` is in eV and ``MDDriver`` thermo
+    reports the requested temperature (up to sampling noise; exactly removing
+    net momentum lowers it by ~1/N).
+    """
+    masses = np.asarray(masses, dtype=np.float64).reshape(-1)
+    r = np.random.RandomState(seed)
+    sigma = np.sqrt(KB * float(temperature_K) / masses)
+    v = r.standard_normal((masses.shape[0], 3)) * sigma[:, None]
+    if zero_momentum:
+        v -= (masses[:, None] * v).sum(axis=0) / masses.sum()
+    return v
+
+
 class VelocityVerlet:
     """NVE integrator state update (pure function factory)."""
 
@@ -261,12 +284,11 @@ class MDDriver:
 
     def _thermo_row(self, state) -> dict:
         pos, vel = state[0], state[1]
+        # ASE units (amu, A, eV, time = sqrt(amu A^2/eV)): 0.5 m v^2 is eV
         ke = float(0.5 * np.sum(np.asarray(self.masses)[:, None] * np.asarray(vel) ** 2))
         pe = self._potential_energy(pos)
-        # T from KE (units: eV, amu, A, fs -> K via kB in eV/K and the
-        # eV/(amu A^2/fs^2) conversion 1/103.6427)
         n_dof = 3 * self._n
-        temp = 2.0 * ke / (n_dof * 8.617333262e-5 * 103.6427)
+        temp = 2.0 * ke / (n_dof * KB)
         return {
             "step": self.step_count,
             "potential_energy": pe,

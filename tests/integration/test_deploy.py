@@ -319,7 +319,18 @@ def test_md_thermo_and_trajectory(ckpt, tmp_path):
         masses=np.full(32, 63.5),
         steps_per_block=5,
     )
-    out = driver.run(15, log_every_blocks=1, traj_path=traj)
+    # Maxwell-Boltzmann init: the first thermo row must report the exact
+    # sampled temperature (2 KE / (3 N kB) by construction)
+    from nequip_tpu.integrations import maxwell_boltzmann_velocities
+
+    v0 = maxwell_boltzmann_velocities(np.full(32, 63.5), 300.0, seed=4)
+    ke0 = 0.5 * np.sum(63.5 * v0**2)
+    t_sampled = 2 * ke0 / (3 * 32 * 8.617330337217213e-05)
+    assert 150 < t_sampled < 450  # sampling noise at N=32
+    out = driver.run(15, log_every_blocks=1, traj_path=traj, velocities=v0)
+    np.testing.assert_allclose(
+        out["thermo"][0]["temperature_K"], t_sampled, rtol=1e-10
+    )
 
     # initial row + one per block
     assert len(out["thermo"]) == 4
@@ -329,8 +340,6 @@ def test_md_thermo_and_trajectory(ckpt, tmp_path):
             row["potential_energy"] + row["kinetic_energy"]
         )
         assert row["temperature_K"] >= 0
-    # thermostat heats the system from zero velocities
-    assert out["thermo"][-1]["temperature_K"] > out["thermo"][0]["temperature_K"]
     assert [r["step"] for r in out["thermo"]] == [0, 5, 10, 15]
 
     with open(traj) as f:
