@@ -12,7 +12,8 @@ contract**:
   signature is therefore static: one compilation per capacity bucket instead
   of the reference's dynamic-shape machinery
   (``/root/reference/nequip/nn/compile.py``, ``utils/fx.py``);
-* padded edges point at node 0 with zero shift and are masked; padded nodes
+* padded edges point at the LAST node slot with zero shift and are masked
+  (keeps dst-sorted edge order intact for the fused kernels); padded nodes
   belong to the last (padded) frame where possible so their (masked) zero
   contributions can never alias a real frame.
 
@@ -291,8 +292,9 @@ def pad_batch(
     """Pad a batched dict to static capacities and attach masks.
 
     Padded nodes are assigned to the last frame slot (a padded frame when one
-    exists), padded edges to node 0 with zero cell shift.  Float padding is
-    zeros.  Real data is never truncated — capacities must be >= true sizes.
+    exists), padded edges to the last node slot with zero cell shift.  Float
+    padding is zeros.  Real data is never truncated — capacities must be >=
+    true sizes.
     """
     data = with_batch_(dict(data))
     N = num_nodes(data)

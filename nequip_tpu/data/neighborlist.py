@@ -82,6 +82,16 @@ def _kdtree_nl(
     heights = 1.0 / np.linalg.norm(inv, axis=0)  # (3,)
     n_rep = np.where(pbc, np.ceil(r_max / heights).astype(int), 0)
 
+    # Wrap positions into the cell along periodic axes so that unwrapped
+    # trajectories (e.g. long MD runs where atoms diffuse across many box
+    # lengths) still see all neighbors within n_rep images.  The per-atom
+    # integer wrap vectors are folded back into the returned shifts so the
+    # contract  vec = pos[src] - pos[dst] + shift @ cell  holds for the
+    # ORIGINAL (unwrapped) positions — same bookkeeping as ops/device_nl.py.
+    frac = pos @ inv
+    wrap = np.where(pbc, np.floor(frac), 0.0)  # (n, 3) integer-valued
+    pos = (frac - wrap) @ cell
+
     shifts = np.array(
         [
             (i, j, k)
@@ -109,7 +119,8 @@ def _kdtree_nl(
         s_idx, j_idx = s_idx[keep], j_idx[keep]
         dst_list.append(np.full(j_idx.shape, i, dtype=np.int64))
         src_list.append(j_idx)
-        shift_list.append(shifts[s_idx])
+        # undo the wrapping: shift_unwrapped = shift_wrapped + wrap[dst] - wrap[src]
+        shift_list.append(shifts[s_idx] + wrap[i] - wrap[j_idx])
 
     if not dst_list:
         return np.zeros((2, 0), dtype=np.int32), np.zeros((0, 3))

@@ -99,13 +99,17 @@ class NoseHoover:
 
         def step(state):
             pos, vel, forces, zeta = state
-            acc = forces / masses[:, None]
-            # half-step velocity with friction
-            vel_half = vel + 0.5 * dt * (acc - zeta * vel)
+            # friction-modified acceleration with the OLD bath variable
+            acc_mod = forces / masses[:, None] - zeta * vel
+            vel_half = vel + 0.5 * dt * acc_mod
             pos_new = pos + dt * vel_half
-            # update thermostat with half-step KE
+            # two half-step bath updates: first from the old-velocity KE,
+            # then from the half-step KE (matches the reference discretization)
+            c = 0.5 * (n_dof + 1) * kT
+            ke_old = 0.5 * jnp.sum(masses[:, None] * vel**2)
+            zeta_half = zeta + 0.5 * dt / q * (ke_old - c)
             ke_half = 0.5 * jnp.sum(masses[:, None] * vel_half**2)
-            zeta_new = zeta + dt / q * (ke_half - 0.5 * (n_dof + 1) * kT)
+            zeta_new = zeta_half + 0.5 * dt / q * (ke_half - c)
             forces_new = force_fn(pos_new)
             acc_new = forces_new / masses[:, None]
             vel_new = (vel_half + 0.5 * dt * acc_new) / (1.0 + 0.5 * dt * zeta_new)

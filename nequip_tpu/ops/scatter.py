@@ -48,5 +48,5 @@ def scatter_mean(
 
 
 def masked_gather(x: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
-    """x[index] — indices are trusted to be in-bounds (padding points at row 0)."""
+    """x[index] — indices are trusted to be in-bounds (padded edges point at the last node slot)."""
     return jnp.take(x, index, axis=0)

@@ -15,7 +15,7 @@ NCCL all-reduce) with ``shard_map`` over an ICI mesh:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, Iterable, Iterator, List, Optional
 
 import numpy as np
 import jax
@@ -64,6 +64,22 @@ def shard_batch_for_dp(batch: dict, mesh: Mesh, axis_name: str = "dp") -> dict:
         k: jax.device_put(v, NamedSharding(mesh, spec))
         for (k, v), spec in zip(batch.items(), batch_pspecs(batch, axis_name).values())
     }
+
+
+def mask_out_batch(batch: dict) -> dict:
+    """A copy of a padded batch with every padding mask set to False.
+
+    Used as tail filler when the number of micro-batches is not divisible by
+    the device count: a fully-masked micro-batch contributes exactly zero to
+    the psum'd loss sums, metric accumulators, and (through the masked error
+    terms) gradients, so the DP step stays *exact* — no gradient rescaling or
+    dropped data (cf. DDP's drop_last/uneven-batch caveats).
+    """
+    out = dict(batch)
+    for k in (_keys.NODE_MASK_KEY, _keys.EDGE_MASK_KEY, _keys.FRAME_MASK_KEY):
+        if k in out:
+            out[k] = jnp.zeros_like(out[k])
+    return out
 
 
 class DataParallel:
@@ -115,7 +131,9 @@ class DataParallel:
                 out_specs=P(),
                 check_vma=False,
             )
-            return smapped(params, metrics_state, batch)
+            # second element mirrors the single-device eval step's (state, out)
+            # interface; per-device model outputs are not gathered under DP
+            return smapped(params, metrics_state, batch), None
 
         return jax.jit(wrapped, donate_argnums=(1,))
 
@@ -129,3 +147,19 @@ class DataParallel:
             f"need {self.n_devices} micro-batches, got {len(batches)}"
         )
         return shard_batch_for_dp(stack_microbatches(batches), self.mesh, self.axis_name)
+
+    def group_batches(self, batches: Iterable[dict]) -> Iterator[dict]:
+        """Group per-device micro-batches from a DataLoader into sharded
+        super-batches.  A non-divisible tail is filled with fully-masked
+        copies of the last micro-batch (exact: they contribute zero)."""
+        buf: List[dict] = []
+        for b in batches:
+            buf.append(b)
+            if len(buf) == self.n_devices:
+                yield self.prepare_batches(buf)
+                buf = []
+        if buf:
+            filler = mask_out_batch(buf[-1])
+            while len(buf) < self.n_devices:
+                buf.append(filler)
+            yield self.prepare_batches(buf)

@@ -76,10 +76,10 @@ def state_from_payload(payload: dict, like=None):
     tree = {k: jax.tree.map(jnp.asarray, v) for k, v in s.items()}
     state = TrainState(**tree)
     if like is not None:
-        ref_leaves = jax.tree.n_leaves if False else None  # structural check below
-        got = jax.tree.structure(state.params)
-        want = jax.tree.structure(like.params)
-        assert got == want, (
-            f"checkpoint params structure mismatch:\n{got}\nvs\n{want}"
-        )
+        for field in ("params", "opt_state", "ema_params"):
+            got = jax.tree.structure(getattr(state, field))
+            want = jax.tree.structure(getattr(like, field))
+            assert got == want, (
+                f"checkpoint {field} structure mismatch:\n{got}\nvs\n{want}"
+            )
     return state

@@ -168,7 +168,9 @@ class MetricsManager:
         if metric == "rmse":
             return jnp.sqrt(sums["sq"] / count)
         if metric == "maxabserr":
-            return sums["max"]
+            # absent types have segment_max's -inf fill; zero them so the
+            # per-type weighted mean (0 * -inf) can't produce NaN
+            return jnp.where(sums["count"] > 0, sums["max"], 0.0)
         raise ValueError(metric)
 
     def _entry_value(self, entry, sums):
@@ -197,11 +199,27 @@ class MetricsManager:
         return {e["name"]: self._batch_sums(e, output, target_data) for e in self.entries}
 
     def psum_batch(self, bs, axis_name: str):
+        """Merge masked error sums across the mesh.
+
+        The param-dependent sums are *linearized*: the VALUE is the global
+        psum but the GRADIENT flows only through the local contribution.
+        ``jax.lax.psum``'s transpose is itself a psum (cotangents get summed
+        across devices), so differentiating a plainly-psum'd loss and then
+        psum'ing the grads would overcount by the device count; with the
+        linearization, psum(local grads) is the exact global-batch gradient
+        (same construction as the sharded-graph energy term in
+        ``parallel/ghost.py``).
+        """
+
+        def lin(x):
+            ps = jax.lax.psum(x, axis_name)
+            return x + jax.lax.stop_gradient(ps - x)
+
         out = {}
         for name, s in bs.items():
             out[name] = {
-                "abs": jax.lax.psum(s["abs"], axis_name),
-                "sq": jax.lax.psum(s["sq"], axis_name),
+                "abs": lin(s["abs"]),
+                "sq": lin(s["sq"]),
                 "count": jax.lax.psum(s["count"], axis_name),
                 "max": jax.lax.pmax(s["max"], axis_name),
             }

@@ -100,7 +100,38 @@ class Trainer:
         self._scalars[name] = value
 
     # ------------------------------------------------------------------
+    def _n_devices(self) -> int:
+        if self.devices in (None, 1, "1"):
+            return 1
+        if self.devices == "auto":
+            return jax.device_count()
+        return int(self.devices)
+
     def _compile_steps(self, module):
+        n_dev = self._n_devices()
+        if n_dev > 1:
+            # data-parallel training over an ICI mesh.  Exact semantics:
+            # masked loss sums are psum'd BEFORE the loss is formed and
+            # gradients psum'd after, so every step computes the global-batch
+            # gradient (reference: trainer-level DDP, simple_ddp.py:6-59 +
+            # docs/guide/accelerations/ddp_training.md — per-rank batch_size,
+            # so the effective batch is batch_size * devices).
+            from ..parallel import DataParallel
+            from ..parallel.mesh import make_mesh
+
+            assert n_dev <= jax.device_count(), (
+                f"trainer.devices={n_dev} but only {jax.device_count()} "
+                f"JAX devices are visible"
+            )
+            self._dp = DataParallel(module, make_mesh((n_dev,), ("dp",)))
+            self._train_step = self._dp.make_train_step()
+            self._eval_steps = {}
+            for name, mgr in (("val", module.val_metrics), ("test", module.test_metrics)):
+                if mgr is not None:
+                    self._eval_steps[name] = self._dp.make_eval_step(mgr)
+            log.info(f"data-parallel training over {n_dev} devices")
+            return
+        self._dp = None
         self._train_step = jax.jit(module.make_train_step(), donate_argnums=(0,))
         self._eval_steps = {}
         for name, mgr in (
@@ -111,6 +142,14 @@ class Trainer:
                 self._eval_steps[name] = jax.jit(
                     module.make_eval_step(mgr), donate_argnums=(1,)
                 )
+
+    def _batches(self, loader):
+        """Iterate a DataLoader, grouping micro-batches into sharded
+        super-batches under data parallelism."""
+        if getattr(self, "_dp", None) is None:
+            yield from loader
+        else:
+            yield from self._dp.group_batches(iter(loader))
 
     # ------------------------------------------------------------------
     def fit(self, module, datamodule, ckpt_path: Optional[str] = None) -> None:
@@ -151,6 +190,8 @@ class Trainer:
         else:
             state = module.init_state()
 
+        if getattr(self, "_dp", None) is not None:
+            state = self._dp.replicate_state(state)
         self.state = state
         for cb in self.callbacks:
             cb.on_train_start(self, module)
@@ -167,7 +208,7 @@ class Trainer:
             if module.loss is not None:
                 self.state = self.state.replace(loss_state=module.loss.init_state())
             n_batches = 0
-            for batch in train_loader:
+            for batch in self._batches(train_loader):
                 self.state, logs = self._train_step(
                     self.state, batch, self._loss_coeffs, self._lr_scale
                 )
@@ -243,10 +284,11 @@ class Trainer:
         xyz_cbs = [cb for cb in self.callbacks if hasattr(cb, "on_eval_batch")]
         for i, loader in enumerate(loaders):
             mstate = mgr.init_state()
-            for batch in loader:
+            for batch in self._batches(loader):
                 mstate, out = step_fn(eval_params, mstate, batch)
                 for cb in xyz_cbs:
-                    if stage == "test":
+                    # under DP the per-device model outputs are not gathered
+                    if stage == "test" and out is not None:
                         cb.on_eval_batch(out, batch)
             vals = mgr.compute(mstate)
             prefix = f"{stage}{i}_epoch"

@@ -129,3 +129,48 @@ def test_val_metrics_batch_size_invariance():
     assert len(results[1]) > 0
     for k in results[1]:
         np.testing.assert_allclose(results[1][k], results[3][k], rtol=1e-10, err_msg=k)
+
+
+def test_dp_training_via_trainer_matches_single_device(tmp_path):
+    """``trainer.devices: 8`` end-to-end (CLI config path): per-epoch losses
+    and val metrics must equal a single device processing the same frames.
+
+    The train split is 6 frames; devices=8 with per-device batch_size=2
+    groups all 3 micro-batches into ONE exact super-step per epoch (plus
+    fully-masked tail fillers), which is equivalent to a single device with
+    batch_size=6.  Parity: the reference's DDP-as-a-config-flag
+    (``/root/reference/docs/guide/accelerations/ddp_training.md``).
+    """
+    import jax as _jax
+
+    if _jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+
+    t_ref = run_config(
+        load_cfg(
+            tmp_path / "single",
+            **{"data.train_dataloader.batch_size": 6, "trainer.max_epochs": 2},
+        )
+    )
+    t_dp = run_config(
+        load_cfg(
+            tmp_path / "dp",
+            **{
+                "data.train_dataloader.batch_size": 2,
+                "trainer.devices": 8,
+                "trainer.max_epochs": 2,
+            },
+        )
+    )
+    keys = [
+        k
+        for k in t_ref._metrics_rows[0]
+        if k.startswith(("train_loss_epoch/", "val0_epoch/"))
+    ]
+    assert keys
+    for row_ref, row_dp in zip(t_ref._metrics_rows, t_dp._metrics_rows):
+        for k in keys:
+            np.testing.assert_allclose(row_dp[k], row_ref[k], rtol=1e-10, err_msg=k)
+    # final parameters identical
+    for a, b in zip(final_params(t_ref), final_params(t_dp)):
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)

@@ -130,3 +130,32 @@ def test_cpp_backend_parity(case):
         pbc, cut = (True,) * 3, 4.0
     ei, sh = neighbor_list(pos, cut, cell=cell, pbc=pbc, backend="cpp")
     assert to_set(ei, sh) == brute_force_nl(pos, cut, cell, pbc)
+
+
+@pytest.mark.parametrize("backend", ["kdtree", "cpp"])
+def test_unwrapped_positions(backend):
+    """Atoms that diffused several box lengths out of the cell (unwrapped MD
+    trajectories) must see exactly the same edge set, with shifts expressed
+    for the ORIGINAL positions (vec = pos[src] - pos[dst] + shift @ cell)."""
+    if backend == "cpp" and not _cpp_available():
+        pytest.skip("no C++ toolchain")
+    r = np.random.RandomState(3)
+    cell = np.diag([6.0, 7.0, 8.0])
+    pos = r.uniform(0, 6, (24, 3))
+    # send atoms many boxes away (integer lattice offsets keep physics equal)
+    offsets = r.randint(-4, 5, (24, 3)).astype(float) @ cell
+    far = pos + offsets
+    cut = 3.2
+
+    ref = brute_force_nl(pos, cut, cell, (True,) * 3)
+    ei, sh = neighbor_list(far, cut, cell=cell, pbc=(True,) * 3, backend=backend)
+    # re-express the brute-force reference in terms of the unwrapped positions
+    w = np.round(offsets @ np.linalg.inv(cell)).astype(int)
+    shifted_ref = {
+        (d, s) + tuple(np.array(shift) + w[d] - w[s])
+        for (d, s, *shift) in ref
+    }
+    assert to_set(ei, sh) == shifted_ref
+    # and the returned geometry must be consistent: |vec| <= cutoff
+    vec = far[ei[1]] - far[ei[0]] + sh @ cell
+    assert np.all(np.linalg.norm(vec, axis=1) <= cut + 1e-9)

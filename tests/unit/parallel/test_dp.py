@@ -1,0 +1,157 @@
+"""Data-parallel correctness gates: DP training over the 8-device virtual
+mesh must compute the exact global-batch gradient — identical parameters and
+losses vs a single device processing the same frames as one super-batch.
+
+This is the TPU analog of the reference's analytic DDP-correctness
+arrangement (``/root/reference/nequip/train/lightning.py:259-267``,
+``tests/integration/conftest.py:173-191``): instead of a loss*world_size
+compensation trick, the masked loss sums are psum'd before the loss is formed
+and the gradients are psum'd after, so equality here is to machine precision.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nequip_tpu.data.dataset import LJTestDataset
+from nequip_tpu.data.loader import DataLoader
+from nequip_tpu.data.transforms import (
+    ChemicalSpeciesToAtomTypeMapper,
+    NeighborListTransform,
+)
+from nequip_tpu.model import NequIPGNNModel
+from nequip_tpu.parallel import DataParallel
+from nequip_tpu.parallel.mesh import make_mesh
+from nequip_tpu.train import EnergyForceLoss, EnergyForceMetrics, NequIPTrainModule
+
+N_DEV = 8
+
+
+def _dataset(num_frames):
+    return LJTestDataset(
+        num_frames=num_frames,
+        seed=7,
+        transforms=[
+            ChemicalSpeciesToAtomTypeMapper(chemical_symbols=["Cu"]),
+            NeighborListTransform(r_max=4.0),
+        ],
+    )
+
+
+def _module():
+    model = NequIPGNNModel(
+        seed=1,
+        model_dtype="float64",
+        type_names=["Cu"],
+        r_max=4.0,
+        num_layers=2,
+        l_max=1,
+        parity=False,
+        num_features=4,
+        radial_mlp_width=8,
+        avg_num_neighbors=12.0,
+        per_type_energy_shifts={"Cu": -0.3},
+    )
+    return NequIPTrainModule(
+        model=model,
+        loss=EnergyForceLoss(per_atom_energy=True),
+        val_metrics=EnergyForceMetrics(),
+        optimizer={"_target_": "optax.adam", "learning_rate": 1e-2},
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if jax.device_count() < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices")
+    return _module(), _dataset(N_DEV)
+
+
+def _single_device_step(module, dataset, n_frames):
+    """One train step over the first n_frames as a single superbatch."""
+    loader = DataLoader(dataset, batch_size=n_frames, shuffle=False)
+    batch = next(iter(loader))
+    state = module.init_state()
+    step = jax.jit(module.make_train_step())
+    coeffs = module.loss.coeff_vector()
+    new_state, logs = step(state, batch, coeffs, jnp.asarray(1.0))
+    return new_state, logs
+
+
+def _dp_step(module, dataset, n_micro):
+    """One DP train step over n_micro single-frame micro-batches (8 devices;
+    a short tail is filled with fully-masked copies)."""
+    loader = DataLoader(dataset, batch_size=1, shuffle=False)
+    dp = DataParallel(module, make_mesh((N_DEV,), ("dp",)))
+    micro = []
+    for i, b in enumerate(loader):
+        if i >= n_micro:
+            break
+        micro.append(b)
+    batch = next(dp.group_batches(iter(micro)))
+    state = dp.replicate_state(module.init_state())
+    step = dp.make_train_step()
+    coeffs = module.loss.coeff_vector()
+    new_state, logs = step(state, batch, coeffs, jnp.asarray(1.0))
+    return new_state, logs, dp
+
+
+def _assert_states_match(a, b, rtol=1e-12, atol=1e-12):
+    for x, y in zip(
+        jax.tree.leaves(jax.device_get(a.params)),
+        jax.tree.leaves(jax.device_get(b.params)),
+    ):
+        np.testing.assert_allclose(x, y, rtol=rtol, atol=atol)
+
+
+def test_dp_grads_match_single_device(setup):
+    """8 single-frame micro-batches == one 8-frame batch: same loss, same
+    updated parameters (exact global-batch gradient)."""
+    module, dataset = setup
+    ref_state, ref_logs = _single_device_step(module, dataset, N_DEV)
+    dp_state, dp_logs, _ = _dp_step(module, dataset, N_DEV)
+    np.testing.assert_allclose(
+        float(dp_logs["train_loss_step/weighted_sum"]),
+        float(ref_logs["train_loss_step/weighted_sum"]),
+        rtol=1e-12,
+    )
+    _assert_states_match(dp_state, ref_state)
+
+
+def test_dp_tail_filler_is_exact(setup):
+    """5 real micro-batches + 3 fully-masked fillers == one 5-frame batch."""
+    module, dataset = setup
+    ref_state, ref_logs = _single_device_step(module, dataset, 5)
+    dp_state, dp_logs, _ = _dp_step(module, dataset, 5)
+    np.testing.assert_allclose(
+        float(dp_logs["train_loss_step/weighted_sum"]),
+        float(ref_logs["train_loss_step/weighted_sum"]),
+        rtol=1e-12,
+    )
+    _assert_states_match(dp_state, ref_state)
+
+
+def test_dp_eval_metrics_match_single_device(setup):
+    """psum'd eval metrics == single-device metrics over the same frames."""
+    module, dataset = setup
+    mgr = module.val_metrics
+    params = module.init_state().params
+
+    loader = DataLoader(dataset, batch_size=N_DEV, shuffle=False)
+    batch = next(iter(loader))
+    eval_step = jax.jit(module.make_eval_step(mgr))
+    mstate, _ = eval_step(params, mgr.init_state(), batch)
+    ref_vals = mgr.compute(mstate)
+
+    dp = DataParallel(module, make_mesh((N_DEV,), ("dp",)))
+    loader1 = DataLoader(dataset, batch_size=1, shuffle=False)
+    dp_step = dp.make_eval_step(mgr)
+    mstate = mgr.init_state()
+    for sb in dp.group_batches(iter(loader1)):
+        mstate, _ = dp_step(params, mstate, sb)
+    dp_vals = mgr.compute(mstate)
+
+    assert set(dp_vals) == set(ref_vals)
+    for k in ref_vals:
+        np.testing.assert_allclose(dp_vals[k], ref_vals[k], rtol=1e-10, err_msg=k)
