@@ -165,7 +165,8 @@ def modify_PerTypeScaleShift(
         node = params_at(params, path)
 
         def update(kind, new_vals, trainable):
-            cur = np.asarray(node[kind]).reshape(-1) if kind in node else None
+            # copy: np.asarray of a jax array is a read-only view
+            cur = np.array(node[kind]).reshape(-1) if kind in node else None
             if cur is not None and cur.size == 1:
                 cur = np.full(mod.num_types, cur[0])
             if new_vals is not None:

@@ -149,18 +149,17 @@ class PartialForceOutput(GraphModule):
 
     def __call__(self, params: Params, data: dict) -> dict:
         pos = data[_keys.POSITIONS_KEY]
-        out_store = {}
+        # plain forward for the output fields (a side-channel capture inside
+        # jacrev would leak tracers under jit)
+        out = dict(self.func(params, dict(data)))
 
         def per_atom_energy(pos_in):
             inner = dict(data)
             inner[_keys.POSITIONS_KEY] = pos_in
-            out = self.func(params, inner)
-            out_store.update(out)
-            return out[_keys.PER_ATOM_ENERGY_KEY].reshape(-1)
+            return self.func(params, inner)[_keys.PER_ATOM_ENERGY_KEY].reshape(-1)
 
         jac = jax.jacrev(per_atom_energy)(pos)  # (n_energies, n_atoms, 3)
         partial = -jac  # partial[j, i] = -dE_j/dpos_i (reference layout)
-        out = dict(out_store)
         out[_keys.PARTIAL_FORCE_KEY] = partial
         out[_keys.FORCE_KEY] = jnp.sum(partial, axis=0)
         return out
