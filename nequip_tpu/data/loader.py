@@ -3,23 +3,41 @@
 Replaces the reference's torch DataLoader + dynamic-shape compile caching
 (``/root/reference/nequip/data/datamodule/_base_datamodule.py``,
 ``nn/compile.py:91-236``): batches are padded to fixed capacities so the
-training step compiles exactly once per bucket.  Capacities are chosen from a
-one-time scan of the dataset (max nodes/edges per frame) and rounded up to a
-configurable multiple to keep the number of distinct jit signatures tiny.
+training step compiles exactly once per bucket.
+
+Capacity policy
+---------------
+* ``n_buckets=1`` (default): every batch pads to the worst case (max frame
+  size x batch_size) — one jit signature, simple, right for homogeneous data.
+* ``n_buckets>1``: a ladder of capacity buckets is built from the quantiles
+  of simulated batch requirements; each batch pads to the smallest bucket
+  that fits.  For mixed-size foundation datasets (MPTrj-class) this bounds
+  padding waste at the cost of ``n_buckets`` jit signatures — the TPU answer
+  to the reference's dynamic-shape compilation (``_key_registry.py:212-249``).
+  NOTE: data-parallel grouping requires identical shapes across micro-batches,
+  so use ``n_buckets=1`` with ``trainer.devices > 1``.
 
 Deterministic + restartable: shuffling is keyed by (seed, epoch), and the
 loader exposes ``state_dict``/``load_state_dict`` like the reference's
-restartable dataloader state (``_base_datamodule.py:159-200``).
+restartable dataloader state (``_base_datamodule.py:159-200``).  For huge
+datasets, pass ``num_samples_per_epoch`` (or a ``PartialSampler``) to split
+one pass over the data into many small "epochs" that advance deterministically
+through a full shuffle — checkpoint/resume then restores the exact position
+mid-pass (parity: ``/root/reference/nequip/data/_sampler.py:8-105``).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Sequence, Tuple
+import logging
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from . import _keys
+from ._sampler import PartialSampler
 from .atomic_data_dict import batched_from_list, pad_batch, round_up, to_device
+
+log = logging.getLogger("nequip_tpu")
 
 
 class DataLoader:
@@ -34,6 +52,9 @@ class DataLoader:
         drop_last: bool = False,
         device: bool = True,
         dtype=None,
+        n_buckets: int = 1,
+        sampler: Optional[PartialSampler] = None,
+        num_samples_per_epoch: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -43,39 +64,160 @@ class DataLoader:
         self.pad_multiple = int(pad_multiple)
         self.device = device
         self.dtype = dtype
+        self.n_buckets = int(n_buckets)
+        assert self.n_buckets >= 1
         self._epoch = 0
         self._capacity = capacity
+        self._buckets: Optional[List[Dict[str, int]]] = None
+        # padding-waste accounting (real vs padded node/edge slots processed)
+        self._real_slots = 0
+        self._padded_slots = 0
+
+        if sampler is None and num_samples_per_epoch is not None:
+            sampler = PartialSampler(
+                data_source_len=len(dataset),
+                num_samples_per_epoch=num_samples_per_epoch,
+                shuffle=shuffle,
+                seed=seed,
+            )
+        self.sampler = sampler
 
     # --- capacity ------------------------------------------------------
-    def _scan_capacity(self) -> Dict[str, int]:
-        max_nodes = 0
-        max_edges = 0
+    def _frame_sizes(self) -> Tuple[np.ndarray, np.ndarray]:
+        nodes, edges = [], []
         for i in range(len(self.dataset)):
             frame = self.dataset[i]
-            max_nodes = max(max_nodes, frame[_keys.POSITIONS_KEY].shape[0])
-            if _keys.EDGE_INDEX_KEY in frame:
-                max_edges = max(max_edges, frame[_keys.EDGE_INDEX_KEY].shape[1])
+            nodes.append(frame[_keys.POSITIONS_KEY].shape[0])
+            edges.append(
+                frame[_keys.EDGE_INDEX_KEY].shape[1]
+                if _keys.EDGE_INDEX_KEY in frame
+                else 0
+            )
+        return np.asarray(nodes), np.asarray(edges)
+
+    def _scan_capacity(self) -> Dict[str, int]:
+        nodes, edges = self._frame_sizes()
         return {
-            "n_nodes": round_up(max_nodes * self.batch_size + 1, self.pad_multiple),
-            "n_edges": round_up(max(max_edges * self.batch_size, 1), self.pad_multiple),
+            "n_nodes": round_up(int(nodes.max()) * self.batch_size + 1, self.pad_multiple),
+            "n_edges": round_up(max(int(edges.max()) * self.batch_size, 1), self.pad_multiple),
             "n_frames": self.batch_size + 1,
         }
 
     @property
     def capacity(self) -> Dict[str, int]:
+        """Worst-case (top-bucket) capacity."""
         if self._capacity is None:
             self._capacity = self._scan_capacity()
         return self._capacity
 
+    def _build_buckets(self) -> List[Dict[str, int]]:
+        """Optimal ladder of (n_nodes, n_edges) capacities (ascending).
+
+        Batch requirements are simulated with seeded random batches, sorted
+        by total size, and segmented into ``n_buckets`` groups by a dynamic
+        program that minimizes the expected number of padded slots (each
+        group's capacity is its max need).  Deterministic; the top bucket is
+        always the worst case so every future batch fits somewhere.
+        """
+        top = self.capacity
+        if self.n_buckets == 1:
+            return [dict(top)]
+        nodes, edges = self._frame_sizes()
+        n = len(nodes)
+        rng = np.random.RandomState(self.seed ^ 0x5EED)
+        m = 256
+        needs = np.empty((m, 2), dtype=np.int64)
+        for s in range(m):
+            idx = rng.choice(n, size=min(self.batch_size, n), replace=False)
+            needs[s] = (nodes[idx].sum() + 1, max(edges[idx].sum(), 1))
+        order = np.argsort(needs.sum(axis=1))
+        needs = needs[order]
+
+        # segment cost = batches * (node_cap + edge_cap) with caps = segment
+        # maxes (suffix-free O(m^2) precompute is fine at m=256)
+        seg_cost = np.empty((m, m + 1))
+        seg_cost.fill(np.inf)
+        for i in range(m):
+            mx = np.zeros(2, dtype=np.int64)
+            for j in range(i + 1, m + 1):
+                mx = np.maximum(mx, needs[j - 1])
+                seg_cost[i, j] = (j - i) * float(mx.sum())
+
+        k = min(self.n_buckets, m)
+        dp = np.full((k + 1, m + 1), np.inf)
+        back = np.zeros((k + 1, m + 1), dtype=np.int64)
+        dp[0, 0] = 0.0
+        for kk in range(1, k + 1):
+            for j in range(1, m + 1):
+                costs = dp[kk - 1, :j] + seg_cost[:j, j]
+                i = int(np.argmin(costs))
+                dp[kk, j], back[kk, j] = costs[i], i
+
+        # recover segment boundaries -> capacities
+        bounds = []
+        j = m
+        for kk in range(k, 0, -1):
+            bounds.append(j)
+            j = int(back[kk, j])
+        bounds = bounds[::-1]
+        buckets: List[Dict[str, int]] = []
+        start = 0
+        for j in bounds:
+            seg = needs[start:j]
+            start = j
+            if len(seg) == 0:
+                continue
+            b = {
+                "n_nodes": round_up(int(seg[:, 0].max()), self.pad_multiple),
+                "n_edges": round_up(int(seg[:, 1].max()), self.pad_multiple),
+                "n_frames": self.batch_size + 1,
+            }
+            if buckets and (
+                b["n_nodes"] <= buckets[-1]["n_nodes"]
+                and b["n_edges"] <= buckets[-1]["n_edges"]
+            ):
+                continue
+            buckets.append(b)
+        if not buckets or (
+            top["n_nodes"] > buckets[-1]["n_nodes"]
+            or top["n_edges"] > buckets[-1]["n_edges"]
+        ):
+            buckets.append(dict(top))
+        return buckets
+
+    @property
+    def buckets(self) -> List[Dict[str, int]]:
+        if self._buckets is None:
+            self._buckets = self._build_buckets()
+        return self._buckets
+
+    def _pick_bucket(self, need_nodes: int, need_edges: int) -> Dict[str, int]:
+        for b in self.buckets:
+            if b["n_nodes"] >= need_nodes and b["n_edges"] >= need_edges:
+                return b
+        # cannot happen when the top bucket is the worst case, but stay safe
+        # with an ad-hoc capacity (new jit signature) rather than crashing
+        log.warning(
+            f"batch needs ({need_nodes} nodes, {need_edges} edges) exceeds the "
+            f"top bucket {self.buckets[-1]}; padding ad hoc"
+        )
+        return {
+            "n_nodes": round_up(need_nodes, self.pad_multiple),
+            "n_edges": round_up(need_edges, self.pad_multiple),
+            "n_frames": self.batch_size + 1,
+        }
+
     # --- iteration -----------------------------------------------------
     def _order(self) -> np.ndarray:
+        if self.sampler is not None:
+            return np.fromiter(iter(self.sampler), dtype=np.int64)
         n = len(self.dataset)
         if self.shuffle:
             return np.random.RandomState(self.seed + self._epoch).permutation(n)
         return np.arange(n)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -90,17 +232,38 @@ class DataLoader:
             yield batched_from_list([self.dataset[i] for i in idx])
 
     def __iter__(self) -> Iterator[dict]:
-        cap = self.capacity
         for batch in self.host_batches():
+            n_real = batch[_keys.POSITIONS_KEY].shape[0]
+            e_real = (
+                batch[_keys.EDGE_INDEX_KEY].shape[1]
+                if _keys.EDGE_INDEX_KEY in batch
+                else 0
+            )
+            cap = self._pick_bucket(n_real + 1, max(e_real, 1))
+            self._real_slots += n_real + e_real
+            self._padded_slots += (cap["n_nodes"] - n_real) + (cap["n_edges"] - e_real)
             padded = pad_batch(
                 batch, cap["n_nodes"], cap["n_edges"], cap["n_frames"]
             )
             yield to_device(padded, dtype=self.dtype) if self.device else padded
         self._epoch += 1
+        if self.sampler is not None:
+            self.sampler.step_epoch()
+
+    # --- padding-waste accounting ---------------------------------------
+    def padding_waste(self) -> float:
+        """Fraction of processed node+edge slots that were padding."""
+        total = self._real_slots + self._padded_slots
+        return self._padded_slots / total if total else 0.0
 
     # --- restartable state --------------------------------------------
     def state_dict(self) -> dict:
-        return {"epoch": self._epoch}
+        return {
+            "epoch": self._epoch,
+            "sampler": self.sampler.state_dict() if self.sampler is not None else None,
+        }
 
     def load_state_dict(self, state: dict) -> None:
         self._epoch = int(state["epoch"])
+        if state.get("sampler") is not None and self.sampler is not None:
+            self.sampler.load_state_dict(state["sampler"])

@@ -44,6 +44,11 @@ def stack_microbatches(batches: List[dict]) -> dict:
     splits them back so each device sees exactly one micro-batch with local
     indices."""
     keys = batches[0].keys()
+    shapes = [{k: tuple(b[k].shape) for k in keys} for b in batches]
+    assert all(s == shapes[0] for s in shapes), (
+        "DP micro-batches must be identically padded (same capacity bucket); "
+        "use DataLoader(n_buckets=1) with data-parallel training"
+    )
     return {
         k: jnp.concatenate([b[k] for b in batches], axis=_concat_axis(k))
         for k in keys

@@ -235,6 +235,8 @@ class Trainer:
                 metrics.update(
                     {f"train_loss_epoch/{k}": v for k, v in train_epoch.items()}
                 )
+            if hasattr(train_loader, "padding_waste"):
+                metrics["padding_waste"] = train_loader.padding_waste()
 
             # ---- validation ----
             if (

@@ -174,3 +174,23 @@ def test_dp_training_via_trainer_matches_single_device(tmp_path):
     # final parameters identical
     for a, b in zip(final_params(t_ref), final_params(t_dp)):
         np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+
+def test_restart_equivalence_partial_sampler(tmp_path):
+    """Mid-pass resume: with num_samples_per_epoch (PartialSampler windows),
+    a restart continues at the exact data position — straight-through and
+    resumed runs end bit-identical (the foundation-data path's answer to
+    mid-epoch dataloader state, ref ``data/_sampler.py:8-105``)."""
+    ov = {"data.train_dataloader.num_samples_per_epoch": 4}
+
+    straight = run_config(
+        load_cfg(tmp_path / "straight", **{"trainer.max_epochs": 4, **ov})
+    )
+    short = run_config(load_cfg(tmp_path / "resume", **{"trainer.max_epochs": 2, **ov}))
+    ckpt = os.path.join(short.ckpt_dir, "last.ckpt")
+    resumed = run_config(
+        load_cfg(tmp_path / "resume", **{"trainer.max_epochs": 4, **ov}),
+        ckpt_path=ckpt,
+    )
+    for a, b in zip(final_params(straight), final_params(resumed)):
+        np.testing.assert_allclose(a, b, rtol=1e-14, atol=1e-14)
