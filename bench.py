@@ -1,17 +1,26 @@
-"""Benchmark: MD-inference throughput (energy + forces per step) on one chip.
+"""Benchmark: NequIP-TPU throughput on one chip, with FLOP accounting.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
-Metric: atom-steps/s for a periodic Cu system at l_max=2 (the BASELINE.json
-north-star scenario).  ``vs_baseline`` is measured against an assumed
-A100-class reference throughput of 1.0e6 atom-steps/s/GPU for a NequIP
-l_max=2 model (the reference repo publishes no numbers — see BASELINE.md —
-so this is an order-of-magnitude anchor from the Tan et al. performance
-paper's hardware class; the target is >= 2x).
+Headline metric (BASELINE.json north-star scenario): MD-inference
+atom-steps/s for a ~100k-atom periodic Cu system at l_max=2 (energy+forces).
+``vs_baseline`` is measured against an assumed A100-class reference
+throughput of 1.0e6 atom-steps/s/GPU for a NequIP l_max=2 model (the
+reference repo publishes no numbers — see BASELINE.md — so this is an
+order-of-magnitude anchor from the Tan et al. performance paper's hardware
+class; the target is >= 2x).
 
-Env knobs: NEQUIP_BENCH_ATOMS (default 20000), NEQUIP_BENCH_STEPS (default
-10), NEQUIP_BENCH_DTYPE (float32), NEQUIP_BENCH_MODE (infer|train),
-NEQUIP_BENCH_TP_IMPL (xla|pallas|pallas_fused), NEQUIP_BENCH_REMAT (0|1).
+``extras`` carries the full measurement matrix {23k, 100k} x {infer, train}
+with per-step FLOPs from the compiled executable's ``cost_analysis()`` and
+the implied TFLOP/s + MFU (vs the v5e bf16 peak of 197 TFLOP/s unless
+NEQUIP_BENCH_PEAK_TFLOPS overrides it).  NOTE: through the axon tunnel the
+effective bandwidth is throttled (~1 TFLOP/s), so absolute MFU here is
+environment-bound; the FLOP counts are exact either way.
+
+Env knobs (single-case mode, used for kernel tuning):
+  NEQUIP_BENCH_ATOMS, NEQUIP_BENCH_STEPS (default 6), NEQUIP_BENCH_DTYPE
+  (float32), NEQUIP_BENCH_MODE (infer|train), NEQUIP_BENCH_TP_IMPL
+  (xla|pallas|pallas_fused), NEQUIP_BENCH_REMAT (0|1).
 """
 
 import json
@@ -22,84 +31,159 @@ import numpy as np
 
 _A100_BASELINE_ATOM_STEPS_PER_S = 1.0e6
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-def main():
+
+def _flops_of(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False):
+    """One measurement: returns a dict or {'error': ...} (e.g. OOM)."""
     import jax
 
-    n_atoms = int(os.environ.get("NEQUIP_BENCH_ATOMS", 20000))
-    n_steps = int(os.environ.get("NEQUIP_BENCH_STEPS", 10))
-    dtype = os.environ.get("NEQUIP_BENCH_DTYPE", "float32")
-
     from __graft_entry__ import _example_model_and_batch
-
-    # auto: the XLA TP path (with the uvu mul2=1 fast path: outer product +
-    # one CG matmul) is fastest at <=50k atoms on this chip; the fully-fused
-    # Pallas variant (radial MLP in-kernel) unlocks 100k+ atoms
-    default_impl = "xla" if n_atoms <= 50000 else "pallas_fused"
-    tp_impl = os.environ.get("NEQUIP_BENCH_TP_IMPL", default_impl)
-    remat = os.environ.get("NEQUIP_BENCH_REMAT", "0") == "1"
-    model, params, data = _example_model_and_batch(
-        model_dtype=dtype, n_atoms=n_atoms, l_max=2, tp_impl=tp_impl, remat=remat
-    )
-    from nequip_tpu.data import _keys as _k
-
-    n_atoms = int(np.asarray(data[_k.NODE_MASK_KEY]).sum())
-
     from nequip_tpu.data import _keys
 
-    mode = os.environ.get("NEQUIP_BENCH_MODE", "infer")
-    if mode == "train":
-        # training-step throughput (model must use a 2nd-order-safe TP impl)
-        import jax.numpy as jnp
+    peak = float(os.environ.get("NEQUIP_BENCH_PEAK_TFLOPS", 197.0)) * 1e12
 
-        from nequip_tpu.train import EMATrainModule, EnergyForceLoss
+    try:
+        model, params, data = _example_model_and_batch(
+            model_dtype=dtype, n_atoms=n_atoms, l_max=2, tp_impl=tp_impl, remat=remat
+        )
+        n_real = int(np.asarray(data[_keys.NODE_MASK_KEY]).sum())
 
-        rng = np.random.RandomState(2)
-        data = dict(data)
-        data[_keys.TOTAL_ENERGY_KEY] = jnp.asarray(rng.standard_normal((2, 1)), dtype=dtype)
-        data[_keys.FORCE_KEY] = jnp.asarray(
-            rng.standard_normal(data[_keys.POSITIONS_KEY].shape), dtype=dtype
-        )
-        module = EMATrainModule(
-            model=model,
-            loss=EnergyForceLoss(type_names=["Cu"]),
-            optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
-        )
-        state = module.init_state()
-        step = jax.jit(module.make_train_step(), donate_argnums=(0,))
-        coeffs = module.loss.coeff_vector()
-        state, logs = step(state, data, coeffs)
-        np.asarray(logs["train_loss_step/weighted_sum"])
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
+        if mode == "train":
+            import jax.numpy as jnp
+
+            from nequip_tpu.train import EMATrainModule, EnergyForceLoss
+
+            rng = np.random.RandomState(2)
+            data = dict(data)
+            data[_keys.TOTAL_ENERGY_KEY] = jnp.asarray(
+                rng.standard_normal((2, 1)), dtype=dtype
+            )
+            data[_keys.FORCE_KEY] = jnp.asarray(
+                rng.standard_normal(data[_keys.POSITIONS_KEY].shape), dtype=dtype
+            )
+            module = EMATrainModule(
+                model=model,
+                loss=EnergyForceLoss(type_names=["Cu"]),
+                optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
+            )
+            state = module.init_state()
+            coeffs = module.loss.coeff_vector()
+            step = jax.jit(module.make_train_step(), donate_argnums=(0,))
+            lowered = step.lower(state, data, coeffs)
+            compiled = lowered.compile()
+            flops = _flops_of(compiled)
             state, logs = step(state, data, coeffs)
-        np.asarray(logs["train_loss_step/weighted_sum"])
-        dt = (time.perf_counter() - t0) / n_steps
-        metric = f"training throughput ({n_atoms} atoms, l_max=2, E+F loss)"
-    else:
-        fwd = jax.jit(lambda p, d: model(p, d))
-        # warmup / compile (sync via host transfer — block_until_ready does
-        # not reliably wait through the axon device tunnel)
-        out = fwd(params, data)
-        np.asarray(out[_keys.FORCE_KEY][0])
-
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
+            np.asarray(logs["train_loss_step/weighted_sum"])  # tunnel-safe sync
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                state, logs = step(state, data, coeffs)
+            np.asarray(logs["train_loss_step/weighted_sum"])
+            dt = (time.perf_counter() - t0) / n_steps
+        else:
+            fwd = jax.jit(lambda p, d: model(p, d))
+            compiled = fwd.lower(params, data).compile()
+            flops = _flops_of(compiled)
             out = fwd(params, data)
-        np.asarray(out[_keys.FORCE_KEY][0])
-        dt = (time.perf_counter() - t0) / n_steps
-        metric = f"MD inference throughput ({n_atoms} atoms, l_max=2, energy+forces)"
+            np.asarray(out[_keys.FORCE_KEY][0])  # tunnel-safe sync
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                out = fwd(params, data)
+            np.asarray(out[_keys.FORCE_KEY][0])
+            dt = (time.perf_counter() - t0) / n_steps
 
-    atom_steps_per_s = n_atoms / dt
+        tflops = flops / dt / 1e12 if np.isfinite(flops) else None
+        return {
+            "atoms": n_real,
+            "mode": mode,
+            "tp_impl": tp_impl,
+            "dtype": dtype,
+            "step_ms": round(dt * 1e3, 2),
+            "atom_steps_per_s": round(n_real / dt, 1),
+            "gflops_per_step": round(flops / 1e9, 2) if np.isfinite(flops) else None,
+            "tflops_per_s": round(tflops, 3) if tflops is not None else None,
+            "mfu": round(flops / dt / peak, 5) if np.isfinite(flops) else None,
+        }
+    except Exception as e:  # OOM at large sizes is a result, not a crash
+        return {
+            "atoms": n_atoms,
+            "mode": mode,
+            "tp_impl": tp_impl,
+            "dtype": dtype,
+            "error": f"{type(e).__name__}: {str(e)[:200]}",
+        }
+
+
+def main():
+    n_steps = int(os.environ.get("NEQUIP_BENCH_STEPS", 6))
+    dtype = os.environ.get("NEQUIP_BENCH_DTYPE", "float32")
+
+    if "NEQUIP_BENCH_ATOMS" in os.environ:
+        # single-case mode (kernel tuning / ad-hoc runs)
+        n_atoms = int(os.environ["NEQUIP_BENCH_ATOMS"])
+        default_impl = "xla" if n_atoms <= 50000 else "pallas_fused"
+        mode = os.environ.get("NEQUIP_BENCH_MODE", "infer")
+        if mode == "train" and default_impl == "xla":
+            default_impl = "pallas" if n_atoms > 15000 else "xla"
+        case = run_case(
+            n_atoms,
+            mode,
+            os.environ.get("NEQUIP_BENCH_TP_IMPL", default_impl),
+            dtype,
+            n_steps,
+            remat=os.environ.get("NEQUIP_BENCH_REMAT", "0") == "1",
+        )
+        value = case.get("atom_steps_per_s", 0.0) or 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": f"{mode} throughput ({case['atoms']} atoms, l_max=2, E+F)",
+                    "value": value,
+                    "unit": "atom-steps/s/chip",
+                    "vs_baseline": round(value / _A100_BASELINE_ATOM_STEPS_PER_S, 4),
+                    "extras": {"cases": [case]},
+                }
+            )
+        )
+        return
+
+    # default: the measurement matrix {23k, 100k} x {infer, train}
+    cases = [
+        run_case(23000, "infer", "xla", dtype, n_steps),
+        run_case(23000, "infer", "pallas", dtype, n_steps),
+        run_case(100000, "infer", "pallas_fused", dtype, n_steps),
+        run_case(23000, "train", "pallas", dtype, max(3, n_steps // 2)),
+        run_case(100000, "train", "pallas", dtype, 2, remat=True),
+    ]
+    headline = next(
+        (c for c in cases if c["mode"] == "infer" and c["atoms"] > 50000 and "error" not in c),
+        None,
+    )
+    if headline is None:  # fall back to the best successful inference case
+        ok = [c for c in cases if "error" not in c and c["mode"] == "infer"]
+        headline = max(ok, key=lambda c: c["atom_steps_per_s"]) if ok else cases[0]
+    value = headline.get("atom_steps_per_s", 0.0) or 0.0
     print(
         json.dumps(
             {
-                "metric": metric,
-                "value": round(atom_steps_per_s, 1),
-                "unit": "atom-steps/s/chip",
-                "vs_baseline": round(
-                    atom_steps_per_s / _A100_BASELINE_ATOM_STEPS_PER_S, 4
+                "metric": (
+                    f"MD inference throughput ({headline['atoms']} atoms, "
+                    f"l_max=2, energy+forces)"
                 ),
+                "value": value,
+                "unit": "atom-steps/s/chip",
+                "vs_baseline": round(value / _A100_BASELINE_ATOM_STEPS_PER_S, 4),
+                "extras": {"cases": cases},
             }
         )
     )

@@ -5,6 +5,11 @@ from .named import (
     sGDML_CCSD_DataModule,
     rMD17DataModule,
     MD22DataModule,
+    NequIP3BPADataModule,
+    TM23DataModule,
+    SAMD23DataModule,
+    WaterDataModule,
+    COLLDataModule,
 )
 
 __all__ = [
@@ -14,4 +19,9 @@ __all__ = [
     "sGDML_CCSD_DataModule",
     "rMD17DataModule",
     "MD22DataModule",
+    "NequIP3BPADataModule",
+    "TM23DataModule",
+    "SAMD23DataModule",
+    "WaterDataModule",
+    "COLLDataModule",
 ]

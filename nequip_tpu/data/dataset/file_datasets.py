@@ -124,25 +124,38 @@ class ASEDataset(AtomicDataset):
         transforms=None,
     ):
         super().__init__(transforms)
+        self.include_keys = include_keys
+        self.key_mapping = key_mapping
+        self._frames = None  # set when using the builtin extxyz fallback
         try:
             import ase.io
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "ASEDataset requires the optional `ase` package on the host"
-            ) from e
+        except ImportError:
+            # no host ase: fall back to the builtin pure-numpy extxyz parser
+            # (covers every named benchmark dataset's format)
+            if not file_path.endswith((".xyz", ".extxyz")):
+                raise ImportError(
+                    "ASEDataset requires the optional `ase` package for "
+                    f"non-xyz files (got {file_path!r})"
+                )
+            from ..xyz import read_extxyz
+
+            self._frames = read_extxyz(
+                file_path, key_mapping=key_mapping, include_keys=include_keys
+            )
+            return
         from ..ase_adapter import from_ase
 
         self._from_ase = from_ase
         kwargs = dict(index=":", format=None)
         kwargs.update(ase_args or {})
         self.atoms_list = ase.io.read(file_path, **kwargs)
-        self.include_keys = include_keys
-        self.key_mapping = key_mapping
 
     def __len__(self) -> int:
-        return len(self.atoms_list)
+        return len(self._frames if self._frames is not None else self.atoms_list)
 
     def get_frame(self, idx: int) -> dict:
+        if self._frames is not None:
+            return dict(self._frames[idx])
         return self._from_ase(
             self.atoms_list[idx],
             include_keys=self.include_keys,

@@ -53,9 +53,14 @@ def _big_dataset_stats(dataset: str, r_max, name: str):
         )
     with open(path) as f:
         table = yaml.safe_load(f)
+    name = str(name)
+    # cutoff-independent entries (isolated_atom_energies, forces_rms, ...)
+    # live under `meta`; per-cutoff entries under `r<cutoff>` keys
+    if name in table.get("meta", {}):
+        return table["meta"][name]
     key = f"r{float(r_max)}"
     assert key in table, f"{dataset}: no stats at cutoff {key}; have {list(table)}"
-    return table[key][str(name)]
+    return table[key][name]
 
 
 def _package_metadata(package_path: str) -> dict:

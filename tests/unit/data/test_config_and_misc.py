@@ -39,8 +39,8 @@ def test_unknown_resolver_left_verbatim():
 
 
 def test_big_dataset_stats_resolver():
-    cfg = {"v": "${big_dataset_stats:mptrj_r5,5.0,num_neighbors_mean}"}
-    assert resolve(cfg)["v"] == 35.3
+    cfg = {"v": "${big_dataset_stats:MPTrj,5.0,num_neighbors_mean}"}
+    assert resolve(cfg)["v"] == 36.0116
     with pytest.raises(KeyError):
         resolve({"v": "${big_dataset_stats:does_not_exist,5.0,x}"})
 
@@ -78,3 +78,26 @@ def test_tutorial_config_loads():
         assert section in cfg
     out = resolve(cfg)
     assert out["training_module"]["model"]["radial_mlp_width"] == 64
+
+
+def test_big_dataset_stats_shipped_tables():
+    """MPTrj/MatPES/OMat precomputed stats resolve at every shipped cutoff.
+
+    Parity: ``/root/reference/nequip/data/dataset_stats/*.yaml`` +
+    ``utils/resolvers.py:81-104``.
+    """
+    from nequip_tpu.utils.config import resolve
+
+    for ds in ("MPTrj", "MatPES", "OMat"):
+        cfg = resolve(
+            {
+                "nn": f"${{big_dataset_stats:{ds},5.0,num_neighbors_mean}}",
+                "pt": f"${{big_dataset_stats:{ds},6.0,per_type_num_neighbors_mean}}",
+                "iso": f"${{big_dataset_stats:{ds},5.0,isolated_atom_energies}}",
+                "frms": f"${{big_dataset_stats:{ds},4.5,forces_rms}}",
+            }
+        )
+        assert cfg["nn"] > 1.0
+        assert isinstance(cfg["pt"], dict) and cfg["pt"]["Cu"] > 1.0
+        assert cfg["iso"]["H"] < 0.0
+        assert cfg["frms"] > 0.0
