@@ -45,15 +45,49 @@ def ModelFromCheckpoint(ckpt_path: str, use_ema: bool = True):
 
 
 def ModelFromPackage(package_path: str):
-    """Load (GraphModel, params) from a ``nequip-package`` archive."""
+    """Load (GraphModel, params) from a ``nequip-package`` archive.
+
+    Enforces the archive format-version compat table and, when the installed
+    framework can no longer rebuild an old config (builder-schema drift),
+    points at the archive's interned code snapshot instead of failing with
+    an opaque TypeError (durability parity with torch.package code
+    interning, ``/root/reference/nequip/scripts/package.py:52-64``).
+    """
     import pickle
+
+    from ..scripts.package import SUPPORTED_PACKAGE_FORMATS
 
     with zipfile.ZipFile(package_path) as zf:
         meta = json.loads(zf.read("package_metadata.json"))
         model_cfg = json.loads(zf.read("model_config.json"))
         params_tree = pickle.loads(zf.read("params.pkl"))
-    # builder configs may contain nested sub-configs (pair_potential)
-    model = instantiate(model_cfg, _recursive_=False)
+        has_snapshot = "code_snapshot.zip" in zf.namelist()
+    fmt = int(meta.get("package_format_version", 1))
+    if fmt not in SUPPORTED_PACKAGE_FORMATS:
+        raise RuntimeError(
+            f"package {package_path!r} has format version {fmt}; this "
+            f"framework version supports {SUPPORTED_PACKAGE_FORMATS}. "
+            + (
+                "Recover with `nequip-package extract-code` + PYTHONPATH."
+                if has_snapshot
+                else "Re-export it with a framework version that wrote it."
+            )
+        )
+    try:
+        # builder configs may contain nested sub-configs (pair_potential)
+        model = instantiate(model_cfg, _recursive_=False)
+    except TypeError as e:
+        hint = (
+            f"run `nequip-package extract-code {package_path} <dir>` and load "
+            f"with PYTHONPATH=<dir> (the archive interns the source tree that "
+            f"built this model, version {meta.get('nequip_tpu_version')})"
+            if has_snapshot
+            else f"install nequip-tpu=={meta.get('nequip_tpu_version')}"
+        )
+        raise RuntimeError(
+            f"cannot rebuild the packaged model with the installed framework "
+            f"(builder config schema drift: {e}); {hint}"
+        ) from e
     import jax.numpy as jnp
     import jax
 

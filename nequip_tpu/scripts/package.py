@@ -1,20 +1,26 @@
 """``nequip-package``: self-contained model archives.
 
 Parity: ``/root/reference/nequip/scripts/package.py`` (torch.package-based)
-re-designed for the functional framework: instead of pickling code objects,
-the archive stores the *model config* (the full builder recipe), the
-parameters, an example batch, and framework version metadata — which is
-sufficient to reconstruct the model exactly (builders are deterministic
-functions of their config + seed).
+re-designed for the functional framework: the archive stores the *model
+config* (the full builder recipe), the parameters, an example batch with
+baseline predictions, framework version metadata, AND a snapshot of the
+``nequip_tpu`` source tree that built the model.  Rebuilding is normally
+config+installed-code (builders are deterministic functions of their
+config + seed); if a breaking refactor ever strands an old config, the
+interned code snapshot keeps the model loadable (``nequip-package
+extract-code`` + PYTHONPATH) — the durability guarantee torch.package's
+code interning provides in the reference.
 
-Subcommands: build / info / list / diff / update / modify.
+Subcommands: build / info / list / diff / update / modify / extract-code.
 """
 
 from __future__ import annotations
 
 import argparse
+import io
 import json
 import logging
+import os
 import pickle
 import sys
 import zipfile
@@ -23,7 +29,34 @@ import numpy as np
 
 log = logging.getLogger("nequip_tpu")
 
-PACKAGE_FORMAT_VERSION = 1
+# == package format version log (parity: reference package.py:52-64) ==
+#  1: metadata + model_config.json + params.pkl (+example/outputs)
+#  2: + code_snapshot.zip (full nequip_tpu source tree)
+PACKAGE_FORMAT_VERSION = 2
+# formats this framework version can still load (compat table enforced by
+# ModelFromPackage; bump + extend deliberately on breaking changes)
+SUPPORTED_PACKAGE_FORMATS = (1, 2)
+
+
+def code_snapshot_bytes() -> bytes:
+    """Zip the installed ``nequip_tpu`` source tree (py/yaml/cpp files)."""
+    import nequip_tpu
+
+    root = os.path.dirname(os.path.abspath(nequip_tpu.__file__))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if not fn.endswith((".py", ".yaml", ".yml", ".cpp", ".h", ".md")):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join(
+                    "nequip_tpu", os.path.relpath(full, root)
+                )
+                zf.write(full, rel)
+    return buf.getvalue()
 
 
 def build(args) -> None:
@@ -67,6 +100,8 @@ def build(args) -> None:
             zf.writestr("example_data.pkl", pickle.dumps(example))
         if outputs is not None:
             zf.writestr("example_outputs.pkl", pickle.dumps(outputs))
+        if not getattr(args, "no_code_snapshot", False):
+            zf.writestr("code_snapshot.zip", code_snapshot_bytes())
     log.info(f"wrote package {args.output_path}")
 
 
@@ -176,7 +211,31 @@ def update(args) -> None:
             zf.writestr("example_data.pkl", pickle.dumps(example))
         if new_outputs is not None:
             zf.writestr("example_outputs.pkl", pickle.dumps(new_outputs))
+        # refresh the interned code to the (verified-compatible) current tree
+        zf.writestr("code_snapshot.zip", code_snapshot_bytes())
     log.info(f"updated package -> {args.output_path}")
+
+
+def extract_code(args) -> None:
+    """Extract the interned source snapshot (durability escape hatch).
+
+    If a future framework version cannot rebuild an old package's config,
+    run this and load the package with PYTHONPATH=<out_dir>.
+    """
+    with zipfile.ZipFile(args.package_path) as zf:
+        names = set(zf.namelist())
+        assert "code_snapshot.zip" in names, (
+            "archive has no code snapshot (built with --no-code-snapshot or "
+            "format version 1)"
+        )
+        snapshot = zf.read("code_snapshot.zip")
+    os.makedirs(args.output_dir, exist_ok=True)
+    with zipfile.ZipFile(io.BytesIO(snapshot)) as zf:
+        zf.extractall(args.output_dir)
+    log.info(
+        f"extracted code snapshot to {args.output_dir}; load the package "
+        f"with PYTHONPATH={args.output_dir}"
+    )
 
 
 def modify_cmd(args) -> None:
@@ -218,7 +277,17 @@ def main(argv=None) -> None:
     p_build = sub.add_parser("build")
     p_build.add_argument("ckpt_path")
     p_build.add_argument("output_path")
+    p_build.add_argument(
+        "--no-code-snapshot",
+        action="store_true",
+        help="skip interning the nequip_tpu source tree into the archive",
+    )
     p_build.set_defaults(func=build)
+
+    p_xc = sub.add_parser("extract-code")
+    p_xc.add_argument("package_path")
+    p_xc.add_argument("output_dir")
+    p_xc.set_defaults(func=extract_code)
 
     p_info = sub.add_parser("info")
     p_info.add_argument("package_path")

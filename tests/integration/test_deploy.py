@@ -347,3 +347,58 @@ def test_md_thermo_and_trajectory(ckpt, tmp_path):
     # 4 frames x (2 header lines + 32 atoms)
     assert len(lines) == 4 * 34
     assert lines[0] == "32" and lines[2].startswith("Cu ")
+
+
+def test_package_durability(ckpt, tmp_path):
+    """Archives intern the source tree; format versions are gated by a
+    compat table; schema drift fails with an actionable snapshot hint.
+
+    Parity: torch.package code interning + format-version log
+    (``/root/reference/nequip/scripts/package.py:52-64``).
+    """
+    import json
+    import zipfile
+
+    import pytest
+
+    from nequip_tpu.model import ModelFromPackage
+    from nequip_tpu.scripts.package import main as package_main
+
+    path, _ = ckpt
+    pkg = str(tmp_path / "pkg.zip")
+    package_main(["build", path, pkg])
+
+    # 1. the archive interns the source tree and extract-code restores it
+    with zipfile.ZipFile(pkg) as zf:
+        assert "code_snapshot.zip" in zf.namelist()
+    out_dir = str(tmp_path / "code")
+    package_main(["extract-code", pkg, out_dir])
+    model_src = os.path.join(out_dir, "nequip_tpu", "model", "nequip_models.py")
+    assert os.path.exists(model_src)
+    assert "NequIPGNNModel" in open(model_src).read()
+
+    # 2. unknown format versions are rejected with the compat table
+    bad = str(tmp_path / "bad_fmt.zip")
+    with zipfile.ZipFile(pkg) as src, zipfile.ZipFile(bad, "w") as dst:
+        for zi in src.infolist():
+            data = src.read(zi.filename)
+            if zi.filename == "package_metadata.json":
+                meta = json.loads(data)
+                meta["package_format_version"] = 99
+                data = json.dumps(meta)
+            dst.writestr(zi.filename, data)
+    with pytest.raises(RuntimeError, match="format version 99"):
+        ModelFromPackage(bad)
+
+    # 3. builder-schema drift raises an actionable error naming the snapshot
+    drift = str(tmp_path / "drift.zip")
+    with zipfile.ZipFile(pkg) as src, zipfile.ZipFile(drift, "w") as dst:
+        for zi in src.infolist():
+            data = src.read(zi.filename)
+            if zi.filename == "model_config.json":
+                cfg = json.loads(data)
+                cfg["an_argument_from_the_future"] = 1
+                data = json.dumps(cfg)
+            dst.writestr(zi.filename, data)
+    with pytest.raises(RuntimeError, match="extract-code"):
+        ModelFromPackage(drift)
