@@ -10,6 +10,14 @@ from .ghost import (
     enable_MeshGhostExchange,
     disable_MeshGhostExchange,
 )
+from .spatial_train import (
+    EMASpatialTrainModule,
+    SpatialFrameDataModule,
+    SpatialFrameLoader,
+    SpatialTrainModule,
+    make_2d_mesh,
+    prepare_spatial_batch,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,4 +29,10 @@ __all__ = [
     "spatial_partition",
     "enable_MeshGhostExchange",
     "disable_MeshGhostExchange",
+    "SpatialTrainModule",
+    "EMASpatialTrainModule",
+    "SpatialFrameLoader",
+    "SpatialFrameDataModule",
+    "make_2d_mesh",
+    "prepare_spatial_batch",
 ]

@@ -56,6 +56,7 @@ def spatial_partition(
     n_devices: int,
     r_max: float,
     pad_multiple: int = 128,
+    caps: Optional[Dict[str, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Slab-partition a (periodic) frame along its longest cell axis.
 
@@ -125,9 +126,16 @@ def spatial_partition(
         max_ghost = max(max_ghost, len(uniq))
         max_edges = max(max_edges, e.shape[1])
 
-    L = round_up(max_local, pad_multiple)
-    G = round_up(max_ghost, pad_multiple)
-    E = round_up(max_edges, 2 * pad_multiple)
+    if caps is not None:
+        # shared capacities (2-D dp x graph batching needs identical shapes)
+        assert caps["L"] >= max_local and caps["G"] >= max_ghost and caps["E"] >= max_edges, (
+            f"caps {caps} too small for (L={max_local}, G={max_ghost}, E={max_edges})"
+        )
+        L, G, E = caps["L"], caps["G"], caps["E"]
+    else:
+        L = round_up(max_local, pad_multiple)
+        G = round_up(max_ghost, pad_multiple)
+        E = round_up(max_edges, 2 * pad_multiple)
 
     out = {
         "local_pos": np.zeros((n_devices, L, 3)),
