@@ -166,6 +166,9 @@ class InteractionBlock(GraphModule):
             and self.edge_mlp.num_layers == 2
             and not self.edge_mlp.bias
             and self.edge_mlp.nonlinearity == "silu"
+            # the in-kernel radial MLP reads raw weights; reparametrized
+            # weights (weight_norm/...) must go through the MLP itself
+            and self.edge_mlp.parametrization is None
         )
         if use_fully_fused:
             # radial MLP fused into the kernel: the [E, weight_numel] radial

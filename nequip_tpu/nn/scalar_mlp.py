@@ -25,6 +25,7 @@ class ScalarMLP(GraphModule):
         bias: bool = False,
         forward_weight_init: bool = True,
         init_mode: str = "uniform",
+        parametrization: Optional[str] = None,
         field: str = _keys.NODE_FEATURES_KEY,
         out_field: Optional[str] = None,
         irreps_in=None,
@@ -46,6 +47,7 @@ class ScalarMLP(GraphModule):
             bias=bias,
             forward_weight_init=forward_weight_init,
             init_mode=init_mode,
+            parametrization=parametrization,
         )
         self.irreps_out[self.out_field] = Irreps([(self.mlp.output_dim, (0, 1))])
 

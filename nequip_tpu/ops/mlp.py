@@ -39,7 +39,14 @@ class ScalarMLP:
         bias: bool = False,
         forward_weight_init: bool = True,
         init_mode: str = "uniform",
+        parametrization: Optional[str] = None,
     ):
+        if parametrization in ("None", "null"):
+            parametrization = None
+        assert parametrization in (None, "weight_norm", "spectral_norm", "orthogonal"), (
+            f"unknown parametrization {parametrization!r}"
+        )
+        self.parametrization = parametrization
         if hidden_layers_depth != 0:
             assert hidden_layers_depth > 0 and hidden_layers_width > 0
         self.dims: List[int] = (
@@ -85,13 +92,43 @@ class ScalarMLP:
             else:
                 w = jax.random.normal(keys[layer], (h_in, h_out))
             params[f"w{layer}"] = w
+            if self.parametrization == "weight_norm":
+                # g initialized to the row norms so the initial effective
+                # weight equals the plain initialization (torch semantics)
+                params[f"g{layer}"] = jnp.linalg.norm(w, axis=1)
             if self.bias:
                 params[f"b{layer}"] = jnp.zeros((h_out,))
         return params
 
+    def _parametrized(self, params, layer, dtype):
+        """Effective weight under the configured reparametrization.
+
+        Functional analogs of the reference's torch parametrizations
+        (``nn/mlp.py:163-180``): weight_norm splits direction/magnitude,
+        spectral_norm divides by the exact largest singular value (no
+        power-iteration buffers needed under jit), orthogonal maps the raw
+        matrix to its (sign-fixed) QR orthogonal factor.
+        """
+        v = params[f"w{layer}"].astype(dtype)
+        p = self.parametrization
+        if p is None:
+            return v
+        if p == "weight_norm":
+            g = params[f"g{layer}"].astype(dtype)
+            return g[:, None] * v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+        if p == "spectral_norm":
+            sigma = jnp.linalg.matrix_norm(v.astype(jnp.float32), ord=2).astype(dtype)
+            return v / (sigma + 1e-12)
+        # orthogonal: QR with the R-diagonal sign fixed for uniqueness
+        tall = v.shape[0] >= v.shape[1]
+        m = v.astype(jnp.float32) if tall else v.astype(jnp.float32).T
+        q, r = jnp.linalg.qr(m)
+        q = q * jnp.sign(jnp.diagonal(r))[None, :]
+        return (q if tall else q.T).astype(dtype)
+
     def __call__(self, params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
         for layer in range(self.num_layers):
-            w = params[f"w{layer}"].astype(x.dtype) * self.alphas[layer]
+            w = self._parametrized(params, layer, x.dtype) * self.alphas[layer]
             x = jnp.matmul(x, w, preferred_element_type=x.dtype)
             if self.bias:
                 x = x + params[f"b{layer}"].astype(x.dtype)
