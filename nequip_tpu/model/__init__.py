@@ -7,10 +7,13 @@ from .saved_models import (
     load_saved_model,
     data_dict_from_checkpoint,
 )
+from .e3nn_import import export_to_e3nn_npz, import_e3nn_npz
 from .modify_utils import modify
 from .inference_models import load_compiled_model, save_compiled_model, CompiledModel
 
 __all__ = [
+    "import_e3nn_npz",
+    "export_to_e3nn_npz",
     "NequIPGNNModel",
     "FullNequIPGNNModel",
     "PresetNequIPGNNModel",
