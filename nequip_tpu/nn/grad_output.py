@@ -114,6 +114,16 @@ class ForceStressOutput(GraphModule):
             inner = dict(data)
             inner[_keys.EDGE_VECTORS_KEY] = vecs
             out = self.func(params, inner)
+            if _keys.NUM_LOCAL_GHOST_NODES_KEY in data:
+                # engine (LAMMPS-style) spatial decomposition: differentiate
+                # ONLY the locally-owned atoms' energies — ghost energies are
+                # computed from incomplete per-rank graphs and are owned by
+                # their home rank (parity: the reference's local-node
+                # truncation, interaction_block.py:158-199)
+                n_local = data[_keys.NUM_LOCAL_GHOST_NODES_KEY].reshape(-1)[0]
+                e_atom = out[_keys.PER_ATOM_ENERGY_KEY].reshape(-1)
+                local = jnp.arange(e_atom.shape[0]) < n_local
+                return jnp.sum(jnp.where(local, e_atom, 0.0)), out
             energy = out[_keys.TOTAL_ENERGY_KEY].reshape(-1)
             if _keys.FRAME_MASK_KEY in data:
                 energy = jnp.where(data[_keys.FRAME_MASK_KEY], energy, 0.0)

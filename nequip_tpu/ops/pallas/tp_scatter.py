@@ -47,8 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..cg import cg_component_normalized
 from ..tensor_product import TensorProduct
 
-DEFAULT_ROWS = 128
-DEFAULT_BLOCK_E = 256
+# tile sizes are env-tunable for hardware sweeps (bench.py single-case mode):
+# ROWS = node-tile height (output rows resident in VMEM), BLOCK_E = edges per
+# chunk (gather/matmul width). Defaults were chosen on a throttled tunnel —
+# re-sweep on real hardware via NEQUIP_PALLAS_ROWS / NEQUIP_PALLAS_BLOCK_E.
+import os as _os
+
+DEFAULT_ROWS = int(_os.environ.get("NEQUIP_PALLAS_ROWS", 128))
+DEFAULT_BLOCK_E = int(_os.environ.get("NEQUIP_PALLAS_BLOCK_E", 256))
 
 
 def _mxu_precision(dtype):
