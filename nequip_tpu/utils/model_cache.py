@@ -1,10 +1,11 @@
-"""Local model cache (download layer stubbed — no network in this build).
+"""Local model cache + repository download.
 
 Parity: ``/root/reference/nequip/utils/model_cache.py`` /
 ``model_repository.py``: resolve ``nequip.net:group/model:version`` style IDs
 against a local cache directory (``$NEQUIP_CACHE_DIR`` or
-``~/.nequip_tpu/model_cache``); remote fetching raises a clear error with
-the expected cache path so users can place files manually.
+``~/.nequip_tpu/model_cache``), downloading through the repository REST
+client (``model_repository.py``) on a cache miss; offline environments get
+a clear error with the expected cache path so files can be placed manually.
 """
 
 from __future__ import annotations
@@ -34,11 +35,20 @@ def model_id_to_path(model_id: str) -> str:
 
 
 def resolve_model_id(model_id: str) -> str:
-    """Return a local path for a model ID, or raise with instructions."""
+    """Return a local path for a model ID (cache hit or repository fetch)."""
     path = model_id_to_path(model_id)
     if os.path.exists(path):
         return path
-    raise FileNotFoundError(
-        f"model {model_id!r} is not in the local cache and this build has no "
-        f"network access; place the package archive at {path}"
-    )
+    from .model_repository import ModelNotFoundError, NequIPNetAPIClient
+
+    client = NequIPNetAPIClient()
+    try:
+        return client.download_model(model_id[len("nequip.net:") :], path)
+    except ModelNotFoundError:
+        raise
+    except Exception as e:
+        raise FileNotFoundError(
+            f"model {model_id!r} is not in the local cache and the repository "
+            f"({client.base_url}) is unreachable ({type(e).__name__}: {e}); "
+            f"place the package archive at {path}"
+        ) from e
