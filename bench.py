@@ -238,11 +238,13 @@ def main():
         )
         return
 
-    # default: the measurement matrix {23k, 100k} x {infer, train}
+    # default: the measurement matrix {23k, 100k} x {infer, train} (+bf16 MD)
     cases = [
         run_case(23000, "infer", "xla", dtype, n_steps),
         run_case(23000, "infer", "pallas", dtype, n_steps),
+        run_case(23000, "infer", "xla", "bfloat16", n_steps),
         run_case(100000, "infer", "pallas_fused", dtype, n_steps),
+        run_case(100000, "infer", "pallas_fused", "bfloat16", n_steps),
         run_case(23000, "train", "pallas", dtype, max(3, n_steps // 2)),
         run_case(100000, "train", "pallas", dtype, 2, remat=True),
     ]

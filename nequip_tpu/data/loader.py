@@ -55,6 +55,8 @@ class DataLoader:
         n_buckets: int = 1,
         sampler: Optional[PartialSampler] = None,
         num_samples_per_epoch: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -66,6 +68,12 @@ class DataLoader:
         self.dtype = dtype
         self.n_buckets = int(n_buckets)
         assert self.n_buckets >= 1
+        # per-host data sharding for multi-process runs: each process takes a
+        # disjoint, deterministic stride of the (seed, epoch)-keyed ordering
+        # (parity: per-rank batches in the reference's DDP recipe)
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+        assert 0 <= self.process_index < self.process_count
         self._epoch = 0
         self._capacity = capacity
         self._buckets: Optional[List[Dict[str, int]]] = None
@@ -210,14 +218,21 @@ class DataLoader:
     # --- iteration -----------------------------------------------------
     def _order(self) -> np.ndarray:
         if self.sampler is not None:
-            return np.fromiter(iter(self.sampler), dtype=np.int64)
-        n = len(self.dataset)
-        if self.shuffle:
-            return np.random.RandomState(self.seed + self._epoch).permutation(n)
-        return np.arange(n)
+            order = np.fromiter(iter(self.sampler), dtype=np.int64)
+        else:
+            n = len(self.dataset)
+            if self.shuffle:
+                order = np.random.RandomState(self.seed + self._epoch).permutation(n)
+            else:
+                order = np.arange(n)
+        if self.process_count > 1:
+            order = order[self.process_index :: self.process_count]
+        return order
 
     def __len__(self) -> int:
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.process_count > 1:
+            n = len(range(self.process_index, n, self.process_count))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

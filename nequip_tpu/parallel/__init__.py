@@ -1,4 +1,5 @@
 from .mesh import make_mesh, device_count
+from .distributed import init_distributed
 from .dp import (
     DataParallel,
     stack_microbatches,
@@ -21,6 +22,7 @@ from .spatial_train import (
 
 __all__ = [
     "make_mesh",
+    "init_distributed",
     "device_count",
     "DataParallel",
     "stack_microbatches",

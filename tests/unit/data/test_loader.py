@@ -132,3 +132,35 @@ def test_partial_sampler_wiring_and_midpass_resume():
     np.testing.assert_allclose(
         np.concatenate(resumed), np.concatenate(straight[2:]), rtol=0
     )
+
+
+def test_per_host_data_sharding():
+    """Multi-process shards are disjoint, cover everything, and reproduce the
+    single-process stream exactly (reference: per-rank DDP batches)."""
+    ds = _mixed_dataset()  # 18 frames
+    full = DataLoader(ds, batch_size=2, shuffle=True, seed=4, device=False)
+    full_order = full._order()
+    shards = []
+    for p in range(3):
+        l = DataLoader(
+            ds, batch_size=2, shuffle=True, seed=4, device=False,
+            process_index=p, process_count=3,
+        )
+        assert len(l) == 3  # 6 frames / batch 2
+        shards.append(l._order())
+    np.testing.assert_array_equal(np.concatenate(
+        [full_order[p::3] for p in range(3)]), np.concatenate(shards))
+    assert sorted(np.concatenate(shards)) == sorted(full_order)
+    # disjoint
+    flat = np.concatenate(shards)
+    assert len(set(flat.tolist())) == len(flat)
+
+
+def test_init_distributed_single_host_noop(monkeypatch):
+    from nequip_tpu.parallel import init_distributed
+
+    for v in ("SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE",
+              "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(v, raising=False)
+    assert init_distributed() is False
