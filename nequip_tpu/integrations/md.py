@@ -247,16 +247,15 @@ class MDDriver:
         flat = (cid[0] * dims[1] + cid[1]) * dims[2] + cid[2]
         cell_cap = int(round_up(int(np.bincount(flat).max() * 1.5) + 1, 4))
 
-        self._nl_fn = jax.jit(
-            partial(
-                device_neighbor_list,
-                cell=jnp.asarray(cell, self._batch[_keys.POSITIONS_KEY].dtype),
-                r_max=r_build,
-                grid_dims=dims,
-                cell_cap=cell_cap,
-                k_max=k_max,
-            )
+        self._nl_fn_raw = partial(
+            device_neighbor_list,
+            cell=jnp.asarray(cell, self._batch[_keys.POSITIONS_KEY].dtype),
+            r_max=r_build,
+            grid_dims=dims,
+            cell_cap=cell_cap,
+            k_max=k_max,
         )
+        self._nl_fn = jax.jit(self._nl_fn_raw)
         # repad the batch to the device edge layout (capacity = n * k_max,
         # always >= the host edge count) so rebuilds swap same-shape arrays
         cap_e = self._n * k_max
@@ -283,14 +282,81 @@ class MDDriver:
         self._nl_pos = np.asarray(pos)
 
     # ------------------------------------------------------------------
-    def _potential_energy(self, pos) -> float:
-        return float(np.asarray(self._energy_fn(pos, self._batch_rest)))
+    def _fused_block_fn(self):
+        """Device-NL block with the skin DECISION and rebuild in-graph.
 
-    def _thermo_row(self, state) -> dict:
+        The whole MD block — integrator steps, max-displacement check,
+        conditional cell-list rebuild, force refresh — runs as ONE jitted
+        call carrying ``(state, batch_rest, nl_pos, overflow_any)``.  The
+        host reads nothing per block (vs. an (N, 3) position readback per
+        block previously); the accumulated overflow flag is checked at
+        thermo points and at the end.
+        """
+        if getattr(self, "_fused_block", None) is None:
+            self._block_fn()  # ensure _force_fn/_energy_fn exist at current caps
+            half_skin2 = (0.5 * self.skin) ** 2
+            nl_raw = self._nl_fn_raw
+            shift_dtype = self._batch[_keys.EDGE_CELL_SHIFT_KEY].dtype
+
+            def fused(state, batch_rest, nl_pos, overflow_any):
+                pad_n = self._cap[0]
+                n = self._n
+
+                def force(pos_real, br):
+                    pad = jnp.zeros((pad_n - n, 3), dtype=pos_real.dtype)
+                    d = dict(br)
+                    d[_keys.POSITIONS_KEY] = jnp.concatenate([pos_real, pad])
+                    out = self.model(self.params, d)
+                    return out[_keys.FORCE_KEY][:n].astype(pos_real.dtype)
+
+                step = self.integrator.make_step(
+                    lambda pos: force(pos, batch_rest), self.masses
+                )
+                state = jax.lax.fori_loop(
+                    0, self.steps_per_block, lambda i, s: step(s), state
+                )
+                pos = state[0]
+                disp2 = jnp.max(jnp.sum((pos - nl_pos) ** 2, axis=1))
+                need = disp2 > half_skin2
+
+                def rebuild(_):
+                    ei, sh, mask, overflow = nl_raw(pos)
+                    br = dict(batch_rest)
+                    br[_keys.EDGE_INDEX_KEY] = ei
+                    br[_keys.EDGE_CELL_SHIFT_KEY] = sh.astype(shift_dtype)
+                    br[_keys.EDGE_MASK_KEY] = mask
+                    return br, pos, overflow
+
+                def keep(_):
+                    return dict(batch_rest), nl_pos, jnp.zeros((), bool)
+
+                new_rest, new_nl_pos, overflow = jax.lax.cond(need, rebuild, keep, None)
+                # refresh forces when the edge set changed
+                forces = jax.lax.cond(
+                    need, lambda _: force(pos, new_rest), lambda _: state[2], None
+                )
+                state = (pos, state[1], forces) + tuple(state[3:])
+                return state, new_rest, new_nl_pos, overflow_any | overflow
+
+            self._fused_block = jax.jit(fused, donate_argnums=(0, 1, 2, 3))
+        return self._fused_block
+
+    def _potential_energy(self, pos, batch_rest=None) -> float:
+        br = batch_rest if batch_rest is not None else self._batch_rest
+        return float(np.asarray(self._energy_fn(pos, br)))
+
+    @staticmethod
+    def _check_overflow(overflow_any) -> None:
+        assert not bool(np.asarray(overflow_any)), (
+            "device neighborlist capacity overflow — density rose beyond the "
+            "initial headroom; rebuild the MDDriver (or use nl_backend='host')"
+        )
+
+    def _thermo_row(self, state, batch_rest=None) -> dict:
         pos, vel = state[0], state[1]
         # ASE units (amu, A, eV, time = sqrt(amu A^2/eV)): 0.5 m v^2 is eV
         ke = float(0.5 * np.sum(np.asarray(self.masses)[:, None] * np.asarray(vel) ** 2))
-        pe = self._potential_energy(pos)
+        pe = self._potential_energy(pos, batch_rest)
         n_dof = 3 * self._n
         temp = 2.0 * ke / (n_dof * KB)
         return {
@@ -345,33 +411,59 @@ class MDDriver:
                 self._write_xyz_frame(traj_fh, state, f"step={self.step_count}")
 
         steps_done = 0
-        while steps_done < n_steps:
-            state = block(state, self._batch_rest)
-            steps_done += self.steps_per_block
-            self.step_count += self.steps_per_block
-            n_blocks += 1
-            if log_every_blocks and n_blocks % log_every_blocks == 0:
-                row = self._thermo_row(state)
-                thermo.append(row)
-                log.info(
-                    f"MD step {row['step']}: PE={row['potential_energy']:.6f} "
-                    f"KE={row['kinetic_energy']:.6f} T={row['temperature_K']:.1f}K"
+        if self.nl_backend == "device":
+            # fully device-resident loop: blocks, skin decision, rebuilds, and
+            # force refreshes run in ONE jitted call; the host transfers
+            # nothing per block (overflow is checked at sync points only)
+            fused = self._fused_block_fn()
+            batch_rest = {k: jnp.asarray(v) for k, v in self._batch_rest.items()}
+            nl_pos = jnp.asarray(self._nl_pos, dtype=self._dtype)
+            overflow_any = jnp.zeros((), bool)
+            while steps_done < n_steps:
+                state, batch_rest, nl_pos, overflow_any = fused(
+                    state, batch_rest, nl_pos, overflow_any
                 )
-                if traj_fh:
-                    self._write_xyz_frame(traj_fh, state, f"step={self.step_count}")
-            # skin check (host): rebuild NL when needed
-            cur = np.asarray(state[0])
-            disp = np.linalg.norm(cur - self._nl_pos, axis=1).max()
-            if disp > 0.5 * self.skin:
-                if self.nl_backend == "device":
-                    # device-resident rebuild: positions/edges never leave HBM
-                    self._device_rebuild(state[0])
-                else:
+                steps_done += self.steps_per_block
+                self.step_count += self.steps_per_block
+                n_blocks += 1
+                if log_every_blocks and n_blocks % log_every_blocks == 0:
+                    self._check_overflow(overflow_any)
+                    row = self._thermo_row(state, batch_rest)
+                    thermo.append(row)
+                    log.info(
+                        f"MD step {row['step']}: PE={row['potential_energy']:.6f} "
+                        f"KE={row['kinetic_energy']:.6f} T={row['temperature_K']:.1f}K"
+                    )
+                    if traj_fh:
+                        self._write_xyz_frame(traj_fh, state, f"step={self.step_count}")
+            self._check_overflow(overflow_any)
+            # persist the final edge state for subsequent run() calls
+            self._batch = {**self._batch, **{k: v for k, v in batch_rest.items()}}
+            self._nl_pos = np.asarray(nl_pos)
+        else:
+            while steps_done < n_steps:
+                state = block(state, self._batch_rest)
+                steps_done += self.steps_per_block
+                self.step_count += self.steps_per_block
+                n_blocks += 1
+                if log_every_blocks and n_blocks % log_every_blocks == 0:
+                    row = self._thermo_row(state)
+                    thermo.append(row)
+                    log.info(
+                        f"MD step {row['step']}: PE={row['potential_energy']:.6f} "
+                        f"KE={row['kinetic_energy']:.6f} T={row['temperature_K']:.1f}K"
+                    )
+                    if traj_fh:
+                        self._write_xyz_frame(traj_fh, state, f"step={self.step_count}")
+                # skin check (host): rebuild NL when needed
+                cur = np.asarray(state[0])
+                disp = np.linalg.norm(cur - self._nl_pos, axis=1).max()
+                if disp > 0.5 * self.skin:
                     self._frame[_keys.POSITIONS_KEY] = cur
                     self._build_neighborlist()
-                block = self._block_fn()
-                forces = self._force_fn(state[0], self._batch_rest)
-                state = (state[0], state[1], forces, state[3])
+                    block = self._block_fn()
+                    forces = self._force_fn(state[0], self._batch_rest)
+                    state = (state[0], state[1], forces, state[3])
         if traj_fh:
             traj_fh.close()
         pos, vel, forces, aux = state
