@@ -1,6 +1,7 @@
 from .base import AtomicDataset, InMemoryDataset, RandomSplitDataset, SubsetDataset
 from .synthetic import LJTestDataset, EMTTestDataset, lj_reference
 from .file_datasets import NPZDataset, HDF5Dataset, ASEDataset, LMDBDataset
+from .shard import ShardDataset
 
 __all__ = [
     "AtomicDataset",
@@ -14,4 +15,5 @@ __all__ = [
     "HDF5Dataset",
     "ASEDataset",
     "LMDBDataset",
+    "ShardDataset",
 ]
