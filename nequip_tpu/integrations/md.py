@@ -177,8 +177,21 @@ class MDDriver:
             self._cap = (cap_n, cap_e)
             self._compiled_block = None  # capacity change forces recompile
         padded = pad_batch(batch, self._cap[0], self._cap[1], 2)
-        self._batch = to_device(padded)
+        self._batch = self._with_layouts(to_device(padded))
         self._nl_pos = np.asarray(self._frame[_keys.POSITIONS_KEY])
+
+    def _with_layouts(self, batch: dict) -> dict:
+        """Attach precomputed fused-kernel edge layouts (pallas models only):
+        the dst-sort/tile-align prep then runs once per NL rebuild instead of
+        on every force call (``ops/pallas/tp_scatter.py attach_edge_layouts``)."""
+        tp_impl = str(
+            getattr(self.model, "model_config", {}).get("tp_impl", "xla")
+        )
+        if not tp_impl.startswith("pallas"):
+            return batch
+        from ..ops.pallas.tp_scatter import attach_edge_layouts
+
+        return attach_edge_layouts(batch)
 
     def _block_fn(self):
         if self._compiled_block is None:
@@ -278,7 +291,7 @@ class MDDriver:
             self._batch[_keys.EDGE_CELL_SHIFT_KEY].dtype
         )
         b[_keys.EDGE_MASK_KEY] = mask
-        self._batch = b
+        self._batch = self._with_layouts(b)
         self._nl_pos = np.asarray(pos)
 
     # ------------------------------------------------------------------
@@ -325,6 +338,9 @@ class MDDriver:
                     br[_keys.EDGE_INDEX_KEY] = ei
                     br[_keys.EDGE_CELL_SHIFT_KEY] = sh.astype(shift_dtype)
                     br[_keys.EDGE_MASK_KEY] = mask
+                    # refresh the precomputed kernel layouts in-graph: the
+                    # argsort amortizes over all skin steps until next rebuild
+                    br = self._with_layouts(br)
                     return br, pos, overflow
 
                 def keep(_):

@@ -86,6 +86,12 @@ class GraphModel(GraphModule):
 
     def __call__(self, params: Params, data: dict) -> dict:
         inputs = {k: data[k] for k in self.input_fields if k in data}
+        # precomputed fused-kernel edge layouts (ops/pallas/tp_scatter.py
+        # layout_key) ride along: pure functions of the edge list that MD
+        # drivers compute once per neighborlist rebuild
+        inputs.update(
+            {k: v for k, v in data.items() if k.startswith("__edge_layout_")}
+        )
         return self.model(params, inputs)
 
     def __repr__(self):

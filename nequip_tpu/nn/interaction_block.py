@@ -173,7 +173,11 @@ class InteractionBlock(GraphModule):
         if use_fully_fused:
             # radial MLP fused into the kernel: the [E, weight_numel] radial
             # weights never materialize in HBM
-            from ..ops.pallas.tp_scatter import fused_tp_scatter_mlp
+            from ..ops.pallas.tp_scatter import (
+                bwd_block_e,
+                fused_tp_scatter_mlp,
+                layout_key,
+            )
 
             mlp_p = {k: v.astype(x.dtype) for k, v in params["edge_mlp"].items()}
             x = fused_tp_scatter_mlp(
@@ -187,8 +191,17 @@ class InteractionBlock(GraphModule):
                 data[_keys.EDGE_INDEX_KEY][1],
                 data.get(_keys.EDGE_MASK_KEY),
                 num_nodes,
+                layouts=(
+                    data.get(layout_key()),
+                    data.get(layout_key(block_e=bwd_block_e())),
+                ),
             )
         else:
+            layout = None
+            if self.tp_scatter.impl in ("pallas", "pallas_fused"):
+                from ..ops.pallas.tp_scatter import layout_key
+
+                layout = data.get(layout_key())
             edge_weight = self.edge_mlp(params["edge_mlp"], data[_keys.EDGE_EMBEDDING_KEY])
             x = self.tp_scatter.forward_tp_scatter(
                 x=x,
@@ -198,6 +211,7 @@ class InteractionBlock(GraphModule):
                 edge_src=data[_keys.EDGE_INDEX_KEY][1],
                 edge_mask=data.get(_keys.EDGE_MASK_KEY),
                 num_nodes=num_nodes,
+                layout=layout,
             )
 
         x = self.linear_2(params["linear_2"], self._merge_mid(x))

@@ -64,13 +64,14 @@ class TensorProductScatter(GraphModule):
         edge_src: jnp.ndarray,  # (E,)
         edge_mask: Optional[jnp.ndarray],  # (E,) bool or None
         num_nodes: int,
+        layout=None,  # optional precomputed edge layout (compute_edge_layout)
     ) -> jnp.ndarray:
         if self.impl in ("pallas", "pallas_fused"):
             from ..ops.pallas.tp_scatter import fused_tp_scatter
 
             return fused_tp_scatter(
                 self.tp, x, edge_attr, edge_weight, edge_dst, edge_src,
-                edge_mask, num_nodes,
+                edge_mask, num_nodes, layout=layout,
             )
         x_src = jnp.take(x, edge_src, axis=0)
         messages = self.tp(x_src, edge_attr, edge_weight)

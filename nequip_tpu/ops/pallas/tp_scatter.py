@@ -152,6 +152,90 @@ def _compute_tp_block(plan: _TPPlan, x, y, w, msg_ref):
 # ---------------------------------------------------------------------------
 # edge re-layout: dst-sorted, tile-aligned chunks
 # ---------------------------------------------------------------------------
+def layout_key(rows: int = None, block_e: int = None) -> str:
+    """Data-dict key under which a precomputed edge layout is stored.
+
+    The layout is a pure function of (edge_dst, num_nodes, rows, block_e) —
+    NOT of positions — so MD drivers compute it once per neighborlist
+    rebuild instead of paying the argsort/scan on every step
+    (``integrations/md.py``), and static-graph inference pays it once ever.
+    """
+    rows = DEFAULT_ROWS if rows is None else rows
+    block_e = DEFAULT_BLOCK_E if block_e is None else block_e
+    return f"__edge_layout_{rows}x{block_e}"
+
+
+def attach_edge_layouts(data, with_backward: bool = True):
+    """Return ``data`` with precomputed fused-kernel edge layouts attached.
+
+    Call after every neighborlist (re)build — MD drivers, the pair-style
+    wrapper, and static-graph benchmarks — so the per-step argsort/scan
+    prep leaves the hot loop.  Jittable (pure jnp).  ``with_backward`` also
+    attaches the layout used by the MLP-fused backward kernel (needed
+    whenever forces are computed, i.e. almost always).
+    """
+    from ...data import _keys  # local import: ops must stay data-agnostic
+
+    edge_dst = data[_keys.EDGE_INDEX_KEY][0]
+    edge_src = data[_keys.EDGE_INDEX_KEY][1]
+    edge_mask = data.get(_keys.EDGE_MASK_KEY)
+    if edge_mask is None:
+        edge_mask = jnp.ones_like(edge_dst, dtype=bool)
+    # node capacity from positions, or the node mask when positions are
+    # stripped (MD drivers pass a positions-less "batch rest")
+    if _keys.POSITIONS_KEY in data:
+        num_nodes = data[_keys.POSITIONS_KEY].shape[0]
+    else:
+        num_nodes = data[_keys.NODE_MASK_KEY].shape[0]
+    out = dict(data)
+    combos = [(DEFAULT_ROWS, DEFAULT_BLOCK_E)]
+    if with_backward:
+        combos.append((DEFAULT_ROWS, bwd_block_e()))
+    for rows, block_e in combos:
+        if num_nodes % rows != 0:
+            continue  # capacity not tile-aligned: kernels fall back in-graph
+        out[layout_key(rows, block_e)] = compute_edge_layout(
+            edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+        )
+    return out
+
+
+def compute_edge_layout(edge_dst, edge_src, edge_mask, num_nodes, rows=None, block_e=None):
+    """Precompute the dst-sorted tile-aligned edge layout as a dict of arrays.
+
+    Store the result under ``layout_key(rows, block_e)`` in the data dict and
+    the fused kernels will skip their in-graph layout pass.  ``edge_src`` and
+    ``edge_mask`` only enter derived quantities (``src_lay``/``wmask``) that
+    are pure gathers by ``take_idx``, so the layout stays valid as long as
+    the edge list itself is unchanged.
+    """
+    rows = DEFAULT_ROWS if rows is None else rows
+    block_e = DEFAULT_BLOCK_E if block_e is None else block_e
+    take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges(
+        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+    )
+    return {
+        "take_idx": take_idx,
+        "rel_dst": rel_dst,
+        "chunk_tile": chunk_tile,
+        "chunk_first": chunk_first,
+        "valid": valid,
+    }
+
+
+def _resolve_layout(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout):
+    """Unpack a precomputed layout dict, or compute one in-graph."""
+    if layout is not None:
+        return (
+            layout["take_idx"],
+            layout["rel_dst"],
+            layout["chunk_tile"],
+            layout["chunk_first"],
+            layout["valid"],
+        )
+    return _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e)
+
+
 def _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):
     """Returns (take_idx [E_pal], rel_dst [E_pal], chunk_tile [G], chunk_first [G]).
 
@@ -231,6 +315,7 @@ def _forward(
     num_nodes: int,
     rows: int = DEFAULT_ROWS,
     block_e: int = DEFAULT_BLOCK_E,
+    layout=None,
 ):
     plan = _TPPlan(tp)
     E = edge_dst.shape[0]
@@ -239,8 +324,8 @@ def _forward(
         "fused kernel (set the loader pad_multiple accordingly)"
     )
 
-    take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges(
-        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+    take_idx, rel_dst, chunk_tile, chunk_first, valid = _resolve_layout(
+        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout
     )
     E_pal = take_idx.shape[0]
     G = E_pal // block_e
@@ -333,10 +418,10 @@ def _bwd_kernel(
 
 def _backward_kernel_call(
     tp, plan, x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask,
-    num_nodes, rows, block_e, g,
+    num_nodes, rows, block_e, g, layout=None,
 ):
-    take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges(
-        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+    take_idx, rel_dst, chunk_tile, chunk_first, valid = _resolve_layout(
+        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout
     )
     E = edge_dst.shape[0]
     E_pal = take_idx.shape[0]
@@ -523,9 +608,9 @@ def _bwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
 
 
 def _layout_and_gather(tp_plan, x, edge_attr, edge_dst, edge_src, edge_mask,
-                       num_nodes, rows, block_e):
-    take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges(
-        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+                       num_nodes, rows, block_e, layout=None):
+    take_idx, rel_dst, chunk_tile, chunk_first, valid = _resolve_layout(
+        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout
     )
     E = edge_dst.shape[0]
     E_pal = take_idx.shape[0]
@@ -537,6 +622,17 @@ def _layout_and_gather(tp_plan, x, edge_attr, edge_dst, edge_src, edge_mask,
     if edge_mask is not None:
         wmask = wmask & jnp.take(edge_mask, safe_idx)
     return take_idx, safe_idx, src_lay, x_lay, y_lay, wmask, rel_dst, chunk_tile, chunk_first
+
+
+_BWD_BLOCK_E_CAP = int(_os.environ.get("NEQUIP_PALLAS_BWD_BLOCK_E", 128))
+
+
+def bwd_block_e(block_e: int = None) -> int:
+    """Edge-chunk width used by the MLP-fused backward kernel (its VMEM
+    working set is ~2.5x the forward's, so it runs half-width chunks by
+    default; sweep with NEQUIP_PALLAS_BWD_BLOCK_E)."""
+    block_e = DEFAULT_BLOCK_E if block_e is None else block_e
+    return min(block_e, _BWD_BLOCK_E_CAP)
 
 
 def fused_tp_scatter_mlp(
@@ -552,20 +648,35 @@ def fused_tp_scatter_mlp(
     num_nodes: int,
     rows: int = DEFAULT_ROWS,
     block_e: int = DEFAULT_BLOCK_E,
+    layouts=None,
 ):
     """Fully-fused conv: gather -> radial MLP -> CG TP -> scatter.
 
     The radial weights exist only chunk-at-a-time in VMEM.  Supports the
     standard depth-1 silu radial MLP (``interaction_block.py:119-127``).
+    ``layouts`` is an optional (forward, backward) pair of precomputed edge
+    layouts (``compute_edge_layout`` at (rows, block_e) and
+    (rows, bwd_block_e(block_e))).
     """
     key = ("mlp", id(tp), id(mlp), num_nodes, rows, block_e, edge_mask is not None)
     if key not in _TP_CACHE:
         _TP_CACHE[key] = _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, edge_mask is not None)
     if edge_mask is None:
         edge_mask = jnp.ones_like(edge_dst, dtype=bool)
+    if layouts is None:
+        layouts = (None, None)
+    lay_f, lay_b = layouts
+    if lay_f is None:
+        lay_f = compute_edge_layout(
+            edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+        )
+    if lay_b is None:
+        lay_b = compute_edge_layout(
+            edge_dst, edge_src, edge_mask, num_nodes, rows, bwd_block_e(block_e)
+        )
     return _TP_CACHE[key](
         x, edge_attr, edge_embed, mlp_params["w0"], mlp_params["w1"],
-        edge_dst, edge_src, edge_mask,
+        edge_dst, edge_src, edge_mask, lay_f, lay_b,
     )
 
 
@@ -578,11 +689,12 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
     assert WN == plan.weight_numel
     alpha0, alpha1 = float(mlp.alphas[0]), float(mlp.alphas[1])
 
-    def forward(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask):
+    def forward(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_f):
         (take_idx, safe_idx, src_lay, x_lay, y_lay, wmask, rel_dst,
          chunk_tile, chunk_first) = _layout_and_gather(
             plan, x, edge_attr, edge_dst, edge_src,
-            edge_mask if has_mask else None, num_nodes, rows, block_e)
+            edge_mask if has_mask else None, num_nodes, rows, block_e,
+            layout=lay_f)
         E_pal = take_idx.shape[0]
         G = E_pal // block_e
         emb_lay = jnp.take(edge_embed, safe_idx, axis=0)
@@ -616,20 +728,21 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
         )(chunk_tile, chunk_first, x_lay, y_lay, emb_lay, rel_2d, w1, w2)
 
     @jax.custom_vjp
-    def fused(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask):
-        return forward(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask)
+    def fused(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_f, lay_b):
+        return forward(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_f)
 
-    def fwd(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask):
-        out = fused(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask)
-        return out, (x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask)
+    def fwd(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_f, lay_b):
+        out = fused(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_f, lay_b)
+        return out, (x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b)
 
     def bwd(res, g):
-        x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask = res
-        be = min(block_e, 128)  # bwd working set is ~2.5x fwd; smaller blocks
+        x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b = res
+        be = bwd_block_e(block_e)  # bwd working set is ~2.5x fwd; smaller blocks
         (take_idx, safe_idx, src_lay, x_lay, y_lay, wmask, rel_dst,
          chunk_tile, chunk_first) = _layout_and_gather(
             plan, x, edge_attr, edge_dst, edge_src,
-            edge_mask if has_mask else None, num_nodes, rows, be)
+            edge_mask if has_mask else None, num_nodes, rows, be,
+            layout=lay_b)
         E_pal = take_idx.shape[0]
         G = E_pal // be
         emb_lay = jnp.take(edge_embed, safe_idx, axis=0)
@@ -680,7 +793,7 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
         demb = jnp.zeros_like(edge_embed).at[take_idx].set(
             jnp.where(wmask[:, None], demb_lay, 0), mode="drop"
         )
-        return dx, dy, demb, dw1.astype(w1.dtype), dw2.astype(w2.dtype), None, None, None
+        return dx, dy, demb, dw1.astype(w1.dtype), dw2.astype(w2.dtype), None, None, None, None, None
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -701,6 +814,7 @@ def fused_tp_scatter(
     num_nodes: int,
     rows: int = DEFAULT_ROWS,
     block_e: int = DEFAULT_BLOCK_E,
+    layout=None,
 ):
     key = (id(tp), num_nodes, rows, block_e, edge_mask is not None)
     if key not in _TP_CACHE:
@@ -710,7 +824,13 @@ def fused_tp_scatter(
     fn = _TP_CACHE[key]
     if edge_mask is None:
         edge_mask = jnp.ones_like(edge_dst, dtype=bool)
-    return fn(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask)
+    if layout is None:
+        # computed in-graph: XLA CSEs it across layers and fwd/bwd, but MD
+        # drivers should precompute (compute_edge_layout) per NL rebuild
+        layout = compute_edge_layout(
+            edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+        )
+    return fn(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout)
 
 
 def _make_fused_uncached(tp, num_nodes, rows, block_e, has_mask):
@@ -737,43 +857,43 @@ def _make_fused_uncached(tp, num_nodes, rows, block_e, has_mask):
         return edge_mask if has_mask else None
 
     @jax.custom_vjp
-    def fused(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask):
+    def fused(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout):
         return _forward(
             tp, x, edge_attr, edge_weight, edge_dst, edge_src,
-            _mask_or_none(edge_mask), num_nodes, rows, block_e,
+            _mask_or_none(edge_mask), num_nodes, rows, block_e, layout,
         )
 
     @jax.custom_vjp
-    def fused_bwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g):
+    def fused_bwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout, g):
         plan = _TPPlan(tp)
         return _backward_kernel_call(
             tp, plan, x, edge_attr, edge_weight, edge_dst, edge_src,
-            _mask_or_none(edge_mask), num_nodes, rows, block_e, g,
+            _mask_or_none(edge_mask), num_nodes, rows, block_e, g, layout,
         )
 
     # ---- F's VJP: the native backward kernel --------------------------
-    def fwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask):
-        out = fused(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask)
-        return out, (x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask)
+    def fwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout):
+        out = fused(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout)
+        return out, (x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout)
 
     def bwd(res, g):
-        x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask = res
+        x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout = res
         dx, dy, dw = fused_bwd(
-            x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g
+            x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout, g
         )
-        return dx, dy, dw, None, None, None
+        return dx, dy, dw, None, None, None, None
 
     fused.defvjp(fwd, bwd)
 
     # ---- B's VJP: three F calls + three B calls (closure under AD) ----
-    def bwd_fwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g):
-        out = fused_bwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g)
-        return out, (x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, g)
+    def bwd_fwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout, g):
+        out = fused_bwd(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout, g)
+        return out, (x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout, g)
 
     def bwd_bwd(res, cts):
-        x, y, w, edge_dst, edge_src, edge_mask, g = res
+        x, y, w, edge_dst, edge_src, edge_mask, layout, g = res
         cx, cy, cw = cts  # cotangents of (dx, dy, dw)
-        graph = (edge_dst, edge_src, edge_mask)
+        graph = (edge_dst, edge_src, edge_mask, layout)
         dg = (
             fused(cx, y, w, *graph)
             + fused(x, cy, w, *graph)
@@ -785,7 +905,7 @@ def _make_fused_uncached(tp, num_nodes, rows, block_e, has_mask):
         dx = b2[0] + b3[0]
         dy = b1[1] + b3[1]
         dw = b1[2] + b2[2]
-        return dx, dy, dw, None, None, None, dg
+        return dx, dy, dw, None, None, None, None, dg
 
     fused_bwd.defvjp(bwd_fwd, bwd_bwd)
     return fused

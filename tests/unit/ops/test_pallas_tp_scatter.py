@@ -197,3 +197,27 @@ def test_third_order_runs(setup):
 
     g3 = jax.grad(lambda yy: jnp.sum(jax.grad(lambda z: jnp.sum(jax.grad(e)(z) ** 2))(yy) ** 2))(y)
     assert np.all(np.isfinite(np.asarray(g3)))
+
+
+def test_precomputed_layout_parity(setup):
+    """Layouts precomputed once (MD skin-rebuild pattern) give identical
+    results and gradients to the in-graph layout path."""
+    from nequip_tpu.ops.pallas.tp_scatter import compute_edge_layout
+
+    tp, x, y, w, dst, src, mask, N = setup
+    layout = compute_edge_layout(dst, src, mask, N)
+    out_inline = fused_tp_scatter(tp, x, y, w, dst, src, mask, N)
+    out_pre = fused_tp_scatter(tp, x, y, w, dst, src, mask, N, layout=layout)
+    np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out_inline))
+
+    def loss(fn_layout):
+        def f(x_, w_):
+            return jnp.sum(
+                fused_tp_scatter(tp, x_, y, w_, dst, src, mask, N, layout=fn_layout) ** 2
+            )
+        return f
+
+    gx_i, gw_i = jax.grad(loss(None), argnums=(0, 1))(x, w)
+    gx_p, gw_p = jax.grad(loss(layout), argnums=(0, 1))(x, w)
+    np.testing.assert_array_equal(np.asarray(gx_p), np.asarray(gx_i))
+    np.testing.assert_array_equal(np.asarray(gw_p), np.asarray(gw_i))
