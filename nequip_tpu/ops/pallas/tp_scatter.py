@@ -57,13 +57,27 @@ DEFAULT_ROWS = int(_os.environ.get("NEQUIP_PALLAS_ROWS", 128))
 DEFAULT_BLOCK_E = int(_os.environ.get("NEQUIP_PALLAS_BLOCK_E", 256))
 
 
+_F32_PRECISION = _os.environ.get("NEQUIP_PALLAS_F32_PRECISION", "highest")
+
+
 def _mxu_precision(dtype):
-    """HIGHEST (f32 passes) for f32 operands; DEFAULT for bf16 (native MXU)."""
-    return (
-        jax.lax.Precision.HIGHEST
-        if dtype == jnp.float32 or dtype == jnp.float64
-        else jax.lax.Precision.DEFAULT
-    )
+    """MXU pass policy for the kernels' matmuls.
+
+    f64 always runs HIGHEST.  For f32 operands the policy is env-tunable
+    (``NEQUIP_PALLAS_F32_PRECISION=highest|default``): HIGHEST is bf16x6
+    passes (full f32 fidelity, ~14 TF/s on v5e), DEFAULT is bf16x3
+    (~1e-6 relative error, ~22 TF/s) — Mosaic supports only these two.
+    bf16 operands use DEFAULT (native MXU).
+    """
+    if dtype == jnp.float64:
+        return jax.lax.Precision.HIGHEST
+    if dtype == jnp.float32:
+        return (
+            jax.lax.Precision.DEFAULT
+            if _F32_PRECISION == "default"
+            else jax.lax.Precision.HIGHEST
+        )
+    return jax.lax.Precision.DEFAULT
 
 
 def _acc_dtype(dtype):
@@ -195,12 +209,15 @@ def attach_edge_layouts(data, with_backward: bool = True):
         if num_nodes % rows != 0:
             continue  # capacity not tile-aligned: kernels fall back in-graph
         out[layout_key(rows, block_e)] = compute_edge_layout(
-            edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+            edge_dst, edge_src, edge_mask, num_nodes, rows, block_e,
+            with_dx=True,  # both layouts serve a backward's dx row-scatter
         )
     return out
 
 
-def compute_edge_layout(edge_dst, edge_src, edge_mask, num_nodes, rows=None, block_e=None):
+def compute_edge_layout(
+    edge_dst, edge_src, edge_mask, num_nodes, rows=None, block_e=None, with_dx=False
+):
     """Precompute the dst-sorted tile-aligned edge layout as a dict of arrays.
 
     Store the result under ``layout_key(rows, block_e)`` in the data dict and
@@ -208,19 +225,34 @@ def compute_edge_layout(edge_dst, edge_src, edge_mask, num_nodes, rows=None, blo
     ``edge_mask`` only enter derived quantities (``src_lay``/``wmask``) that
     are pure gathers by ``take_idx``, so the layout stays valid as long as
     the edge list itself is unchanged.
+
+    ``with_dx=True`` additionally precomputes the *source-keyed* layout used
+    by the backward's ``dx`` row-scatter kernel (``pallas_scatter_sum`` over
+    source nodes), stored under the ``"dx"`` key.
     """
     rows = DEFAULT_ROWS if rows is None else rows
     block_e = DEFAULT_BLOCK_E if block_e is None else block_e
     take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges(
         edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
     )
-    return {
+    lay = {
         "take_idx": take_idx,
         "rel_dst": rel_dst,
         "chunk_tile": chunk_tile,
         "chunk_first": chunk_first,
         "valid": valid,
     }
+    if with_dx:
+        E = edge_dst.shape[0]
+        safe_idx = jnp.minimum(take_idx, E - 1)
+        src_lay = jnp.take(edge_src, safe_idx)
+        wm = valid
+        if edge_mask is not None:
+            wm = wm & jnp.take(edge_mask, safe_idx)
+        lay["dx"] = compute_edge_layout(
+            src_lay, src_lay, wm, num_nodes, rows, block_e
+        )
+    return lay
 
 
 def _resolve_layout(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout):
@@ -365,6 +397,105 @@ def _forward(
 
 
 # ---------------------------------------------------------------------------
+# generic row-scatter kernel: sum rows of ``values`` into ``num_rows`` buckets
+# via the same dst-sorted tile-aligned layout + one-hot MXU matmul.  Replaces
+# XLA's sort-based segment_sum for the large unsorted scatters in the fused
+# backward (dx over source nodes: [E_pal, dim_in] -> [N, dim_in]).
+# ---------------------------------------------------------------------------
+def _scatter_rows_kernel(rows, block_e, ct_ref, cf_ref, v_ref, rel_ref, out_ref):
+    g = pl.program_id(0)
+
+    @pl.when(cf_ref[g] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
+    out_ref[:] += jax.lax.dot_general(
+        S, v_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=_acc_dtype(v_ref.dtype),
+        precision=_mxu_precision(v_ref.dtype),
+    ).astype(out_ref.dtype)
+
+
+def pallas_scatter_sum(
+    values,
+    index,
+    num_rows: int,
+    mask=None,
+    rows: int = None,
+    block_e: int = None,
+    layout=None,
+):
+    """``segment_sum(values, index, num_rows)`` as a Pallas one-hot matmul.
+
+    ``values`` is ``[M, D]``, ``index`` ``[M]`` (unsorted); rows with
+    ``mask=False`` contribute nothing.  The index layout is a pure function
+    of ``index`` — precompute it per neighborlist rebuild with
+    ``compute_edge_layout(index, index, mask, num_rows, rows, block_e)`` and
+    pass it as ``layout``.  Falls back to the XLA ``segment_sum`` when
+    ``num_rows`` is not tile-aligned.
+    """
+    rows = DEFAULT_ROWS if rows is None else rows
+    block_e = DEFAULT_BLOCK_E if block_e is None else block_e
+    D = values.shape[1]
+    if num_rows % rows != 0:
+        from ..scatter import scatter_sum
+
+        return scatter_sum(values, index, num_segments=num_rows, mask=mask)
+    take_idx, rel_dst, chunk_tile, chunk_first, valid = _resolve_layout(
+        index, index, mask, num_rows, rows, block_e, layout
+    )
+    M = index.shape[0]
+    E_pal = take_idx.shape[0]
+    G = E_pal // block_e
+    safe = jnp.minimum(take_idx, M - 1)
+    v_lay = jnp.take(values, safe, axis=0)
+    wm = valid if mask is None else valid & jnp.take(mask, safe)
+    v_lay = jnp.where(wm[:, None], v_lay, 0)
+    rel_2d = rel_dst.reshape(E_pal, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((block_e, D), lambda g, ct, cf: (g, 0)),
+            pl.BlockSpec((block_e, 1), lambda g, ct, cf: (g, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, D), lambda g, ct, cf: (ct[g], 0)),
+    )
+    return pl.pallas_call(
+        partial(_scatter_rows_kernel, rows, block_e),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_rows, D), values.dtype),
+        interpret=(jax.default_backend() == "cpu"),
+    )(chunk_tile, chunk_first, v_lay, rel_2d)
+
+
+_DX_SCATTER = _os.environ.get("NEQUIP_PALLAS_DX_SCATTER", "1") == "1"
+
+
+def _dx_scatter(dx_lay, src_lay, wmask, num_nodes, rows, block_e, layout):
+    """Reduce per-slot ``dx`` cotangents onto source nodes.
+
+    XLA's sort-based segment_sum over ~2M unsorted rows is a major cost of
+    the force backward at 100k atoms; the Pallas row-scatter kernel replaces
+    it whenever the node capacity is tile-aligned.  The source-keyed
+    sub-layout is precomputed per neighborlist rebuild
+    (``compute_edge_layout(..., with_dx=True)`` via ``attach_edge_layouts``).
+    """
+    if _DX_SCATTER and num_nodes % rows == 0:
+        sub = layout.get("dx") if isinstance(layout, dict) else None
+        return pallas_scatter_sum(
+            dx_lay, src_lay, num_nodes, mask=wmask,
+            rows=rows, block_e=block_e, layout=sub,
+        )
+    return jax.ops.segment_sum(
+        jnp.where(wmask[:, None], dx_lay, 0), src_lay, num_segments=num_nodes
+    )
+
+
+# ---------------------------------------------------------------------------
 # native backward kernel: consumes the output cotangent tile-by-tile,
 # producing per-edge cotangents without materializing [E, mid_dim] in HBM
 # ---------------------------------------------------------------------------
@@ -468,7 +599,7 @@ def _backward_kernel_call(
 
     # dx: scatter back over source nodes (masked slots contribute zero since
     # their radial weights were zeroed)
-    dx = jax.ops.segment_sum(dx_lay, src_lay, num_segments=num_nodes)
+    dx = _dx_scatter(dx_lay, src_lay, wmask, num_nodes, rows, block_e, layout)
     # dy/dw: map layout slots back to the original edge order; padding slots
     # (take_idx == E) are dropped
     dy = jnp.zeros_like(edge_attr).at[take_idx].set(dy_lay, mode="drop")
@@ -672,7 +803,8 @@ def fused_tp_scatter_mlp(
         )
     if lay_b is None:
         lay_b = compute_edge_layout(
-            edge_dst, edge_src, edge_mask, num_nodes, rows, bwd_block_e(block_e)
+            edge_dst, edge_src, edge_mask, num_nodes, rows, bwd_block_e(block_e),
+            with_dx=True,
         )
     return _TP_CACHE[key](
         x, edge_attr, edge_embed, mlp_params["w0"], mlp_params["w1"],
@@ -785,7 +917,7 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
             interpret=(jax.default_backend() == "cpu"),
         )(chunk_tile, chunk_first, x_lay, y_lay, emb_lay, rel_2d, mask_f, w1, w2, g)
 
-        dx = jax.ops.segment_sum(dx_lay, src_lay, num_segments=num_nodes)
+        dx = _dx_scatter(dx_lay, src_lay, wmask, num_nodes, rows, be, lay_b)
         E = edge_dst.shape[0]
         dy = jnp.zeros_like(edge_attr).at[take_idx].set(
             jnp.where(wmask[:, None], dy_lay, 0), mode="drop"
@@ -828,7 +960,8 @@ def fused_tp_scatter(
         # computed in-graph: XLA CSEs it across layers and fwd/bwd, but MD
         # drivers should precompute (compute_edge_layout) per NL rebuild
         layout = compute_edge_layout(
-            edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+            edge_dst, edge_src, edge_mask, num_nodes, rows, block_e,
+            with_dx=True,  # this layout also serves the kernel backward
         )
     return fn(x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, layout)
 
