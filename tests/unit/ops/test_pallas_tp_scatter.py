@@ -221,3 +221,37 @@ def test_precomputed_layout_parity(setup):
     gx_p, gw_p = jax.grad(loss(layout), argnums=(0, 1))(x, w)
     np.testing.assert_array_equal(np.asarray(gx_p), np.asarray(gx_i))
     np.testing.assert_array_equal(np.asarray(gw_p), np.asarray(gw_i))
+
+
+def test_pallas_scatter_sum_matches_segment_sum():
+    """The generic one-hot-matmul row scatter (used for the backward's dx
+    reduction) equals XLA segment_sum, with and without masks, for
+    tile-aligned and non-aligned (fallback) capacities."""
+    from nequip_tpu.ops.pallas.tp_scatter import (
+        compute_edge_layout,
+        pallas_scatter_sum,
+    )
+    from nequip_tpu.ops.scatter import scatter_sum
+
+    r = np.random.RandomState(3)
+    M, D = 1000, 96
+    for num_rows in (256, 200):  # tile-aligned (kernel) and fallback
+        vals = jnp.asarray(r.standard_normal((M, D)))
+        idx = jnp.asarray(r.randint(0, num_rows, M), dtype=jnp.int32)
+        mask = jnp.asarray(r.rand(M) > 0.2)
+        want = scatter_sum(vals, idx, num_segments=num_rows, mask=mask)
+        got = pallas_scatter_sum(vals, idx, num_rows, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+        # maskless
+        want = scatter_sum(vals, idx, num_segments=num_rows)
+        got = pallas_scatter_sum(vals, idx, num_rows)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+    # precomputed layout path is bit-equal to in-graph
+    num_rows = 256
+    vals = jnp.asarray(r.standard_normal((M, D)))
+    idx = jnp.asarray(r.randint(0, num_rows, M), dtype=jnp.int32)
+    mask = jnp.asarray(r.rand(M) > 0.2)
+    lay = compute_edge_layout(idx, idx, mask, num_rows)
+    a = pallas_scatter_sum(vals, idx, num_rows, mask=mask, layout=lay)
+    b = pallas_scatter_sum(vals, idx, num_rows, mask=mask)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
