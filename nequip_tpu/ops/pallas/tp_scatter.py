@@ -513,38 +513,10 @@ def _bwd_kernel(
         precision=_mxu_precision(g_ref.dtype),
     ).astype(ge_ref.dtype)
 
-    x = x_ref[:]
-    y = y_ref[:]
-    w = w_ref[:]
-
-    dx_ref[:] = jnp.zeros_like(dx_ref)
-    dy_ref[:] = jnp.zeros_like(dy_ref)
-    dw_ref[:] = jnp.zeros_like(dw_ref)
-
-    for p in plan.paths:
-        mul = p["mul"]
-        wp = w[:, p["w_sl"]]
-        by_m3 = {}
-        for m1, m2, m3, c in p["terms"]:
-            by_m3.setdefault(m3, []).append((m1, m2, c))
-        dw_acc = None
-        for m3, terms in by_m3.items():
-            col = p["out_off"] + m3 * mul
-            gcol = ge_ref[:, col : col + mul]
-            for m1, m2, c in terms:
-                xo = p["x_off"] + m1 * mul
-                xcol = x[:, xo : xo + mul]
-                yv = y[:, p["y_off"] + m2 : p["y_off"] + m2 + 1]
-                # d_w += c * y * x * g   (per-channel)
-                t_w = (c * yv) * (xcol * gcol)
-                dw_acc = t_w if dw_acc is None else dw_acc + t_w
-                # d_y += c * sum_u (w * x * g)
-                dy_ref[:, p["y_off"] + m2 : p["y_off"] + m2 + 1] += c * jnp.sum(
-                    wp * xcol * gcol, axis=1, keepdims=True
-                )
-                # d_x += c * y * w * g
-                dx_ref[:, xo : xo + mul] += (c * yv) * (wp * gcol)
-        dw_ref[:, p["w_sl"]] += dw_acc
+    dw = _compute_tp_bwd_block(
+        plan, x_ref[:], y_ref[:], w_ref[:], ge_ref[:], dx_ref, dy_ref, None
+    )
+    dw_ref[:] = dw.astype(dw_ref.dtype)
 
 
 def _backward_kernel_call(
@@ -652,7 +624,14 @@ def _fwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
 
 
 def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw):
-    """Shared CG-VJP: writes dx/dy refs, returns d_w [B, WN] (dense)."""
+    """Shared CG-VJP: writes dx/dy refs, returns d_w [B, WN] (dense).
+
+    The radial weight ``wp`` is constant across a path's CG terms, so it is
+    factored out of the dy/dx accumulations: one lane-reduction per *m2*
+    (instead of per term) and one wp-multiply per m1/m2 — the VPU-bound
+    inner loop does ~5 elementwise ops per term instead of ~7 plus a
+    reduction.
+    """
     dx_ref[:] = jnp.zeros_like(dx_ref)
     dy_ref[:] = jnp.zeros_like(dy_ref)
     dw_cols = {}
@@ -663,6 +642,8 @@ def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw):
         for m1, m2, m3, c in p["terms"]:
             by_m3.setdefault(m3, []).append((m1, m2, c))
         dw_acc = None
+        dy_pre = {}  # m2 -> sum_{m1,m3} c * x_m1 * g_m3   (wp factored out)
+        dx_pre = {}  # m1 -> sum_{m2,m3} (c*y_m2) * g_m3   (wp factored out)
         for m3, terms in by_m3.items():
             col = p["out_off"] + m3 * mul
             gcol = ge[:, col : col + mul]
@@ -670,12 +651,20 @@ def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw):
                 xo = p["x_off"] + m1 * mul
                 xcol = x[:, xo : xo + mul]
                 yv = y[:, p["y_off"] + m2 : p["y_off"] + m2 + 1]
-                t_w = (c * yv) * (xcol * gcol)
+                xg = xcol * gcol
+                t_w = (c * yv) * xg
                 dw_acc = t_w if dw_acc is None else dw_acc + t_w
-                dy_ref[:, p["y_off"] + m2 : p["y_off"] + m2 + 1] += c * jnp.sum(
-                    wp * xcol * gcol, axis=1, keepdims=True
-                )
-                dx_ref[:, xo : xo + mul] += (c * yv) * (wp * gcol)
+                t_y = c * xg
+                dy_pre[m2] = t_y if m2 not in dy_pre else dy_pre[m2] + t_y
+                t_x = (c * yv) * gcol
+                dx_pre[m1] = t_x if m1 not in dx_pre else dx_pre[m1] + t_x
+        for m2, acc in dy_pre.items():
+            dy_ref[:, p["y_off"] + m2 : p["y_off"] + m2 + 1] += jnp.sum(
+                wp * acc, axis=1, keepdims=True
+            )
+        for m1, acc in dx_pre.items():
+            xo = p["x_off"] + m1 * mul
+            dx_ref[:, xo : xo + mul] += wp * acc
         dw_cols[p["w_sl"].start] = (p["w_sl"], dw_acc)
     pieces = []
     pos_ = 0
