@@ -117,7 +117,20 @@ def _train_flop_ratio(dtype: str) -> float:
 
 
 def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False):
-    """One measurement: returns a dict or {'error': ...} (e.g. OOM)."""
+    """One measurement with retries: the tunneled chip is multi-tenant and
+    surfaces transient RESOURCE_EXHAUSTED when another tenant holds HBM;
+    returns a dict or {'error': ...} after the retries (a real OOM fails
+    consistently)."""
+    last = None
+    for attempt in range(3):
+        last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat)
+        if "error" not in last or "RESOURCE_EXHAUSTED" not in last["error"]:
+            return last
+        time.sleep(90)
+    return last
+
+
+def _run_case_once(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False):
     import jax
 
     from __graft_entry__ import _example_model_and_batch

@@ -418,6 +418,9 @@ def _scatter_rows_kernel(rows, block_e, ct_ref, cf_ref, v_ref, rel_ref, out_ref)
     ).astype(out_ref.dtype)
 
 
+_SCATTER_COL_BLOCK = int(_os.environ.get("NEQUIP_PALLAS_SCATTER_COL_BLOCK", 128))
+
+
 def pallas_scatter_sum(
     values,
     index,
@@ -426,6 +429,7 @@ def pallas_scatter_sum(
     rows: int = None,
     block_e: int = None,
     layout=None,
+    col_block: int = None,
 ):
     """``segment_sum(values, index, num_rows)`` as a Pallas one-hot matmul.
 
@@ -435,9 +439,15 @@ def pallas_scatter_sum(
     ``compute_edge_layout(index, index, mask, num_rows, rows, block_e)`` and
     pass it as ``layout``.  Falls back to the XLA ``segment_sum`` when
     ``num_rows`` is not tile-aligned.
+
+    The gathered-into-layout copy of ``values`` is the transient HBM cost
+    (``M_pal x D``); for wide D it is processed in ``col_block``-column
+    passes so the peak stays bounded (the 100k-atom backward runs within a
+    16 GB chip's headroom).
     """
     rows = DEFAULT_ROWS if rows is None else rows
     block_e = DEFAULT_BLOCK_E if block_e is None else block_e
+    col_block = _SCATTER_COL_BLOCK if col_block is None else col_block
     D = values.shape[1]
     if num_rows % rows != 0:
         from ..scatter import scatter_sum
@@ -450,26 +460,36 @@ def pallas_scatter_sum(
     E_pal = take_idx.shape[0]
     G = E_pal // block_e
     safe = jnp.minimum(take_idx, M - 1)
-    v_lay = jnp.take(values, safe, axis=0)
     wm = valid if mask is None else valid & jnp.take(mask, safe)
-    v_lay = jnp.where(wm[:, None], v_lay, 0)
     rel_2d = rel_dst.reshape(E_pal, 1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((block_e, D), lambda g, ct, cf: (g, 0)),
-            pl.BlockSpec((block_e, 1), lambda g, ct, cf: (g, 0)),
-        ],
-        out_specs=pl.BlockSpec((rows, D), lambda g, ct, cf: (ct[g], 0)),
-    )
-    return pl.pallas_call(
-        partial(_scatter_rows_kernel, rows, block_e),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_rows, D), values.dtype),
-        interpret=(jax.default_backend() == "cpu"),
-    )(chunk_tile, chunk_first, v_lay, rel_2d)
+    def one_pass(v_cols):
+        d = v_cols.shape[1]
+        v_lay = jnp.take(v_cols, safe, axis=0)
+        v_lay = jnp.where(wm[:, None], v_lay, 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((block_e, d), lambda g, ct, cf: (g, 0)),
+                pl.BlockSpec((block_e, 1), lambda g, ct, cf: (g, 0)),
+            ],
+            out_specs=pl.BlockSpec((rows, d), lambda g, ct, cf: (ct[g], 0)),
+        )
+        return pl.pallas_call(
+            partial(_scatter_rows_kernel, rows, block_e),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((num_rows, d), values.dtype),
+            interpret=(jax.default_backend() == "cpu"),
+        )(chunk_tile, chunk_first, v_lay, rel_2d)
+
+    if D <= col_block:
+        return one_pass(values)
+    pieces = [
+        one_pass(values[:, c : min(c + col_block, D)])
+        for c in range(0, D, col_block)
+    ]
+    return jnp.concatenate(pieces, axis=1)
 
 
 _DX_SCATTER = _os.environ.get("NEQUIP_PALLAS_DX_SCATTER", "1") == "1"
