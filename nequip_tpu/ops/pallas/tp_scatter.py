@@ -418,7 +418,12 @@ def _scatter_rows_kernel(rows, block_e, ct_ref, cf_ref, v_ref, rel_ref, out_ref)
     ).astype(out_ref.dtype)
 
 
-_SCATTER_COL_BLOCK = int(_os.environ.get("NEQUIP_PALLAS_SCATTER_COL_BLOCK", 128))
+_SCATTER_COL_BLOCK = int(_os.environ.get("NEQUIP_PALLAS_SCATTER_COL_BLOCK", 0))
+# transient-bytes budget for the gathered copy when col_block is unset (0 =
+# adaptive): one pass when it fits, else the fewest equal column passes
+_SCATTER_BYTES_BUDGET = float(
+    _os.environ.get("NEQUIP_PALLAS_SCATTER_BYTES_BUDGET", 1.2e9)
+)
 
 
 def pallas_scatter_sum(
@@ -483,6 +488,10 @@ def pallas_scatter_sum(
             interpret=(jax.default_backend() == "cpu"),
         )(chunk_tile, chunk_first, v_lay, rel_2d)
 
+    if col_block == 0:  # adaptive: fewest passes within the bytes budget
+        bytes_full = E_pal * D * jnp.dtype(values.dtype).itemsize
+        n_passes = max(1, int(np.ceil(bytes_full / _SCATTER_BYTES_BUDGET)))
+        col_block = int(np.ceil(D / n_passes))
     if D <= col_block:
         return one_pass(values)
     pieces = [
