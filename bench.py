@@ -116,22 +116,29 @@ def _train_flop_ratio(dtype: str) -> float:
     return _TRAIN_RATIO[dtype]
 
 
-def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False):
+def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf32=False):
     """One measurement with retries: the tunneled chip is multi-tenant and
     surfaces transient RESOURCE_EXHAUSTED when another tenant holds HBM;
     returns a dict or {'error': ...} after the retries (a real OOM fails
     consistently)."""
     last = None
+    tf32 = tf32 or os.environ.get("NEQUIP_BENCH_TF32", "0") == "1"
     for attempt in range(3):
-        last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat)
+        last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32)
         if "error" not in last or "RESOURCE_EXHAUSTED" not in last["error"]:
             return last
         time.sleep(90)
     return last
 
 
-def _run_case_once(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False):
+def _run_case_once(
+    n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf32=False
+):
     import jax
+
+    from nequip_tpu.utils.global_state import set_tf32
+
+    set_tf32(bool(tf32))
 
     from __graft_entry__ import _example_model_and_batch
     from nequip_tpu.data import _keys
@@ -201,6 +208,7 @@ def _run_case_once(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=Fal
             "mode": mode,
             "tp_impl": tp_impl,
             "dtype": dtype,
+            "tf32": bool(tf32),
             "step_ms": round(dt * 1e3, 2),
             "atom_steps_per_s": round(n_real / dt, 1),
             "gflops_per_step": round(flops / 1e9, 2) if np.isfinite(flops) else None,
@@ -258,37 +266,43 @@ def main():
     budget_s = float(os.environ.get("NEQUIP_BENCH_BUDGET_S", 2100))
     t_start = time.perf_counter()
     plan = [
-        (100000, "infer", "pallas_fused", dtype, n_steps, False),
-        (23000, "infer", "xla", dtype, n_steps, False),
-        (23000, "train", "pallas", dtype, max(3, n_steps // 2), False),
-        (100000, "infer", "pallas_fused", "bfloat16", n_steps, False),
-        (23000, "infer", "pallas", dtype, n_steps, False),
-        (23000, "infer", "xla", "bfloat16", n_steps, False),
-        (100000, "train", "pallas", dtype, 2, True),
+        (100000, "infer", "pallas_fused", dtype, n_steps, False, False),
+        (100000, "infer", "pallas_fused", dtype, n_steps, False, True),  # tf32
+        (23000, "infer", "xla", dtype, n_steps, False, False),
+        (23000, "train", "pallas", dtype, max(3, n_steps // 2), False, False),
+        (100000, "infer", "pallas_fused", "bfloat16", n_steps, False, False),
+        (23000, "infer", "pallas", dtype, n_steps, False, False),
+        (23000, "infer", "xla", dtype, n_steps, False, True),  # tf32
+        (100000, "train", "pallas", dtype, 2, True, False),
     ]
     cases = []
-    for i, (atoms, mode, impl, dt_, steps, remat) in enumerate(plan):
+    for i, (atoms, mode, impl, dt_, steps, remat, tf32) in enumerate(plan):
         if i > 0 and time.perf_counter() - t_start > budget_s:
             cases.append(
                 {"atoms": atoms, "mode": mode, "tp_impl": impl, "dtype": dt_,
                  "error": "skipped: bench time budget exhausted"}
             )
             continue
-        cases.append(run_case(atoms, mode, impl, dt_, steps, remat=remat))
-    headline = next(
-        (c for c in cases if c["mode"] == "infer" and c["atoms"] > 50000 and "error" not in c),
-        None,
-    )
-    if headline is None:  # fall back to the best successful inference case
-        ok = [c for c in cases if "error" not in c and c["mode"] == "infer"]
-        headline = max(ok, key=lambda c: c["atom_steps_per_s"]) if ok else cases[0]
+        cases.append(run_case(atoms, mode, impl, dt_, steps, remat=remat, tf32=tf32))
+    # headline: the fastest successful f32 inference at the 100k north-star
+    # size (strict or TF32-mode — the A100 anchor hardware runs TF32);
+    # falls back to the best successful inference case of any size
+    big = [
+        c for c in cases
+        if c["mode"] == "infer" and c["atoms"] > 50000 and "error" not in c
+        and c["dtype"] == "float32"
+    ]
+    ok = [c for c in cases if "error" not in c and c["mode"] == "infer"]
+    pool = big or ok
+    headline = max(pool, key=lambda c: c["atom_steps_per_s"]) if pool else cases[0]
     value = headline.get("atom_steps_per_s", 0.0) or 0.0
+    qualifier = " tf32" if headline.get("tf32") else ""
     print(
         json.dumps(
             {
                 "metric": (
                     f"MD inference throughput ({headline['atoms']} atoms, "
-                    f"l_max=2, energy+forces)"
+                    f"l_max=2, energy+forces, {headline['dtype']}{qualifier})"
                 ),
                 "value": value,
                 "unit": "atom-steps/s/chip",

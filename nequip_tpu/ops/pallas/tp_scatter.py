@@ -72,11 +72,15 @@ def _mxu_precision(dtype):
     if dtype == jnp.float64:
         return jax.lax.Precision.HIGHEST
     if dtype == jnp.float32:
-        return (
-            jax.lax.Precision.DEFAULT
-            if _F32_PRECISION == "default"
-            else jax.lax.Precision.HIGHEST
-        )
+        if _F32_PRECISION == "default":
+            return jax.lax.Precision.DEFAULT
+        # follow the framework's TF32 toggle (utils/global_state.py) so
+        # "fast-math" mode is coherent across XLA einsums and kernels
+        from ...utils.global_state import tf32_enabled
+
+        if tf32_enabled():
+            return jax.lax.Precision.DEFAULT
+        return jax.lax.Precision.HIGHEST
     return jax.lax.Precision.DEFAULT
 
 

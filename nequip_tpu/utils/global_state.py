@@ -51,6 +51,13 @@ def set_tf32(enabled: bool) -> None:
     )
 
 
+def tf32_enabled() -> bool:
+    """Whether fast-math (TF32-analog) matmul mode is on — consulted by the
+    Pallas kernels so explicit kernel precisions follow the same toggle as
+    XLA's default matmul precision."""
+    return bool(_GLOBAL_STATE["allow_tf32"])
+
+
 def get_latest_global_state() -> dict:
     return {
         "allow_tf32": _GLOBAL_STATE["allow_tf32"],
