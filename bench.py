@@ -284,14 +284,23 @@ def main():
             )
             continue
         cases.append(run_case(atoms, mode, impl, dt_, steps, remat=remat, tf32=tf32))
+    def _big_ok(cs):
+        return [
+            c for c in cs
+            if c["mode"] == "infer" and c["atoms"] > 50000 and "error" not in c
+            and c["dtype"] == "float32"
+        ]
+
+    # insurance for multi-tenant HBM congestion: if the 100k case could not
+    # run at all, a reduced >50k size keeps the north-star-scenario headline
+    # measurable (the error rows stay in extras for the record)
+    if not _big_ok(cases) and time.perf_counter() - t_start < budget_s:
+        cases.append(run_case(64000, "infer", "pallas_fused", dtype, n_steps))
+
     # headline: the fastest successful f32 inference at the 100k north-star
     # size (strict or TF32-mode — the A100 anchor hardware runs TF32);
     # falls back to the best successful inference case of any size
-    big = [
-        c for c in cases
-        if c["mode"] == "infer" and c["atoms"] > 50000 and "error" not in c
-        and c["dtype"] == "float32"
-    ]
+    big = _big_ok(cases)
     ok = [c for c in cases if "error" not in c and c["mode"] == "infer"]
     pool = big or ok
     headline = max(pool, key=lambda c: c["atom_steps_per_s"]) if pool else cases[0]
