@@ -546,10 +546,9 @@ def _bwd_kernel(
         precision=_mxu_precision(g_ref.dtype),
     ).astype(ge_ref.dtype)
 
-    dw = _compute_tp_bwd_block(
-        plan, x_ref[:], y_ref[:], w_ref[:], ge_ref[:], dx_ref, dy_ref, None
+    _compute_tp_bwd_block(
+        plan, x_ref[:], y_ref[:], w_ref[:], ge_ref[:], dx_ref, dy_ref, dw_ref
     )
-    dw_ref[:] = dw.astype(dw_ref.dtype)
 
 
 def _backward_kernel_call(
@@ -656,8 +655,13 @@ def _fwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
     ).astype(out_ref.dtype)
 
 
-def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw):
-    """Shared CG-VJP: writes dx/dy refs, returns d_w [B, WN] (dense).
+def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw_ref):
+    """Shared CG-VJP: writes dx/dy/dw refs in place.
+
+    ``dw_ref`` may be an output ref (plain backward kernel) or a VMEM
+    scratch (MLP-fused backward); writing path slices directly avoids the
+    wide column-concatenate temporary that inflated Mosaic's VMEM
+    footprint (and blocked ``block_e=256`` backward compiles).
 
     The radial weight ``wp`` is constant across a path's CG terms, so it is
     factored out of the dy/dx accumulations: one lane-reduction per *m2*
@@ -699,24 +703,26 @@ def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw):
             xo = p["x_off"] + m1 * mul
             dx_ref[:, xo : xo + mul] += wp * acc
         dw_cols[p["w_sl"].start] = (p["w_sl"], dw_acc)
-    pieces = []
     pos_ = 0
     for start in sorted(dw_cols):
         sl, acc = dw_cols[start]
-        if sl.start > pos_:
-            pieces.append(jnp.zeros((x.shape[0], sl.start - pos_), dtype=x.dtype))
-        pieces.append(acc)
+        if sl.start > pos_:  # gap between weighted paths (none for uvu TPs)
+            dw_ref[:, pos_ : sl.start] = jnp.zeros(
+                (x.shape[0], sl.start - pos_), dtype=dw_ref.dtype
+            )
+        dw_ref[:, sl] = acc.astype(dw_ref.dtype)
         pos_ = sl.stop
     if pos_ < plan.weight_numel:
-        pieces.append(jnp.zeros((x.shape[0], plan.weight_numel - pos_), dtype=x.dtype))
-    return jnp.concatenate(pieces, axis=1)
+        dw_ref[:, pos_ :] = jnp.zeros(
+            (x.shape[0], plan.weight_numel - pos_), dtype=dw_ref.dtype
+        )
 
 
 def _bwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
                     ct_ref, cf_ref, x_ref, y_ref, emb_ref, rel_ref, mask_ref,
                     w1_ref, w2_ref, g_ref,
                     dx_ref, dy_ref, demb_ref, dw1_ref, dw2_ref,
-                    ge_ref):
+                    ge_ref, dw_scr):
     g = pl.program_id(0)
     f32 = _mxu_precision(g_ref.dtype)
 
@@ -741,8 +747,8 @@ def _bwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
     h = h_pre * sig
     w = jnp.dot(h, w2a, preferred_element_type=_acc_dtype(emb.dtype), precision=f32).astype(emb.dtype)
 
-    dw = _compute_tp_bwd_block(plan, x_ref[:], y_ref[:], w, ge_ref[:], dx_ref, dy_ref, None)
-    dw = dw * mask_ref[:]  # kill cotangents of masked/padding slots
+    _compute_tp_bwd_block(plan, x_ref[:], y_ref[:], w, ge_ref[:], dx_ref, dy_ref, dw_scr)
+    dw = dw_scr[:] * mask_ref[:]  # kill cotangents of masked/padding slots
 
     # MLP VJP (accumulated across chunks in the resident dw1/dw2 blocks)
     dh = jnp.dot(dw, w2a.T, preferred_element_type=_acc_dtype(emb.dtype), precision=f32).astype(emb.dtype)
@@ -924,7 +930,10 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
                 pl.BlockSpec((n_emb, H), lambda g_, ct, cf: (0, 0)),
                 pl.BlockSpec((H, WN), lambda g_, ct, cf: (0, 0)),
             ],
-            scratch_shapes=[pltpu.VMEM((be, plan.mid_dim), x.dtype)],
+            scratch_shapes=[
+                pltpu.VMEM((be, plan.mid_dim), x.dtype),
+                pltpu.VMEM((be, plan.weight_numel), x.dtype),
+            ],
         )
         dx_lay, dy_lay, demb_lay, dw1, dw2 = pl.pallas_call(
             partial(_bwd_mlp_kernel, plan, rows, be, alpha0, alpha1),
