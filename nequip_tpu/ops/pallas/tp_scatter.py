@@ -678,7 +678,6 @@ def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw_ref):
         by_m3 = {}
         for m1, m2, m3, c in p["terms"]:
             by_m3.setdefault(m3, []).append((m1, m2, c))
-        dw_acc = None
         dy_pre = {}  # m2 -> sum_{m1,m3} c * x_m1 * g_m3   (wp factored out)
         dx_pre = {}  # m1 -> sum_{m2,m3} (c*y_m2) * g_m3   (wp factored out)
         for m3, terms in by_m3.items():
@@ -688,14 +687,17 @@ def _compute_tp_bwd_block(plan, x, y, w, ge, dx_ref, dy_ref, dw_ref):
                 xo = p["x_off"] + m1 * mul
                 xcol = x[:, xo : xo + mul]
                 yv = y[:, p["y_off"] + m2 : p["y_off"] + m2 + 1]
-                xg = xcol * gcol
-                t_w = (c * yv) * xg
-                dw_acc = t_w if dw_acc is None else dw_acc + t_w
-                t_y = c * xg
+                t_y = c * (xcol * gcol)
                 dy_pre[m2] = t_y if m2 not in dy_pre else dy_pre[m2] + t_y
                 t_x = (c * yv) * gcol
                 dx_pre[m1] = t_x if m1 not in dx_pre else dx_pre[m1] + t_x
+        # dw = sum_m2 y_m2 * dy_pre[m2]  (the same accumulators serve both
+        # cotangents, saving one [B, mul] multiply-add per CG term)
+        dw_acc = None
         for m2, acc in dy_pre.items():
+            yv = y[:, p["y_off"] + m2 : p["y_off"] + m2 + 1]
+            t_w = yv * acc
+            dw_acc = t_w if dw_acc is None else dw_acc + t_w
             dy_ref[:, p["y_off"] + m2 : p["y_off"] + m2 + 1] += jnp.sum(
                 wp * acc, axis=1, keepdims=True
             )
