@@ -140,10 +140,61 @@ def main():
         f = jax.jit(call)
         return lambda: f(xb, yb, eb, rel, w1, w2)
 
+    def make_bwd(prec):
+        """The CG-VJP block (the backward kernel's VPU-bound core) on a
+        constant chunk: dy/dx/dw cotangents per chunk."""
+        gb = jnp.asarray(
+            np.random.RandomState(1).standard_normal((be, plan.mid_dim)), jnp.float32
+        )
+
+        def _k(x_ref, y_ref, g_ref, w_ref_in, dx_ref, dy_ref, dw_scr):
+            g = pl.program_id(0)
+
+            @pl.when(g == 0)
+            def _():
+                dx_ref[:] = jnp.zeros_like(dx_ref)
+
+            K._compute_tp_bwd_block(
+                plan, x_ref[:], y_ref[:], w_ref_in[:], g_ref[:], dx_ref, dy_ref, dw_scr
+            )
+
+        wfull = jnp.asarray(
+            np.random.RandomState(2).standard_normal((be, WN)), jnp.float32
+        )
+
+        def call(xb_, yb_, gb_, wf_):
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(G,),
+                in_specs=[
+                    pl.BlockSpec((be, plan.dim_in), lambda g: (0, 0)),
+                    pl.BlockSpec((be, plan.sh_dim), lambda g: (0, 0)),
+                    pl.BlockSpec((be, plan.mid_dim), lambda g: (0, 0)),
+                    pl.BlockSpec((be, WN), lambda g: (0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((be, plan.dim_in), lambda g: (0, 0)),
+                    pl.BlockSpec((be, plan.sh_dim), lambda g: (0, 0)),
+                ],
+                scratch_shapes=[pltpu.VMEM((be, WN), jnp.float32)],
+            )
+            return pl.pallas_call(
+                _k, grid_spec=gs,
+                out_shape=[
+                    jax.ShapeDtypeStruct((be, plan.dim_in), jnp.float32),
+                    jax.ShapeDtypeStruct((be, plan.sh_dim), jnp.float32),
+                ],
+                interpret=(jax.default_backend() == "cpu"),
+            )(xb_, yb_, gb_, wf_)
+
+        f = jax.jit(lambda *a: call(*a)[0])
+        return lambda: f(xb, yb, gb, wfull)
+
     HP, DP = jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT
     for v in ("dot", "mlp", "cg", "full"):
         timeit(f"{v} HIGHEST", make(v, HP))
         timeit(f"{v} DEFAULT", make(v, DP))
+    timeit("cgvjp (bwd core)", make_bwd(HP))
     flop_dot = G * be * rows * plan.mid_dim * 2
     flop_mlp = G * be * (n_emb * H + H * WN) * 2
     print(
