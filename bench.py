@@ -265,11 +265,14 @@ def main():
     # timeout can never leave the round without a headline number.
     budget_s = float(os.environ.get("NEQUIP_BENCH_BUDGET_S", 2100))
     t_start = time.perf_counter()
+    # order matters: the headline attempt first, then a cheap reliable case
+    # (so a successful inference number always exists even if every 100k
+    # case exhausts its retries on a congested chip), then the rest
     plan = [
         (100000, "infer", "pallas_fused", dtype, n_steps, False, False),
-        (100000, "infer", "pallas_fused", dtype, n_steps, False, True),  # tf32
         (23000, "infer", "xla", dtype, n_steps, False, False),
         (23000, "train", "pallas", dtype, max(3, n_steps // 2), False, False),
+        (100000, "infer", "pallas_fused", dtype, n_steps, False, True),  # tf32
         (100000, "infer", "pallas_fused", "bfloat16", n_steps, False, False),
         (23000, "infer", "pallas", dtype, n_steps, False, False),
         (23000, "infer", "xla", dtype, n_steps, False, True),  # tf32
@@ -293,8 +296,9 @@ def main():
 
     # insurance for multi-tenant HBM congestion: if the 100k case could not
     # run at all, a reduced >50k size keeps the north-star-scenario headline
-    # measurable (the error rows stay in extras for the record)
-    if not _big_ok(cases) and time.perf_counter() - t_start < budget_s:
+    # measurable (the error rows stay in extras for the record).  Runs even
+    # past the budget — it IS the headline when 100k cannot allocate.
+    if not _big_ok(cases):
         cases.append(run_case(64000, "infer", "pallas_fused", dtype, n_steps))
 
     # headline: the fastest successful f32 inference at the 100k north-star
