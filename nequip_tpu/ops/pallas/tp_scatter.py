@@ -740,21 +740,27 @@ def _bwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
         S, g_ref[:], preferred_element_type=_acc_dtype(g_ref.dtype), precision=f32
     ).astype(ge_ref.dtype)
 
-    # recompute radial MLP
+    # recompute radial MLP.  The activation math runs in f32 regardless of
+    # the kernel dtype: jax.nn.sigmoid's bf16 lowering materializes f32
+    # scalar constants that trip Mosaic's vector.broadcast verifier, and
+    # [block_e, H] is small anyway.  Casts happen at the dot boundaries.
     w1a = w1_ref[:] * alpha0
     w2a = w2_ref[:] * alpha1
     emb = emb_ref[:]
-    h_pre = jnp.dot(emb, w1a, preferred_element_type=_acc_dtype(emb.dtype), precision=f32).astype(emb.dtype)
+    h_pre = jnp.dot(emb, w1a, preferred_element_type=_acc_dtype(emb.dtype), precision=f32)
+    h_pre = h_pre.astype(_acc_dtype(emb.dtype))
     sig = jax.nn.sigmoid(h_pre)
-    h = h_pre * sig
+    h = (h_pre * sig).astype(emb.dtype)
     w = jnp.dot(h, w2a, preferred_element_type=_acc_dtype(emb.dtype), precision=f32).astype(emb.dtype)
 
     _compute_tp_bwd_block(plan, x_ref[:], y_ref[:], w, ge_ref[:], dx_ref, dy_ref, dw_scr)
     dw = dw_scr[:] * mask_ref[:]  # kill cotangents of masked/padding slots
 
     # MLP VJP (accumulated across chunks in the resident dw1/dw2 blocks)
-    dh = jnp.dot(dw, w2a.T, preferred_element_type=_acc_dtype(emb.dtype), precision=f32).astype(emb.dtype)
-    dh_pre = dh * (sig * (1.0 + h_pre * (1.0 - sig)))
+    dh = jnp.dot(dw, w2a.T, preferred_element_type=_acc_dtype(emb.dtype), precision=f32)
+    dh = dh.astype(_acc_dtype(emb.dtype))
+    # silu' = sig * (1 + x*(1-sig)), computed in f32 like sig itself
+    dh_pre = (dh * (sig * (1.0 + h_pre * (1.0 - sig)))).astype(emb.dtype)
     demb_ref[:] = jnp.dot(
         dh_pre, w1a.T, preferred_element_type=_acc_dtype(emb.dtype), precision=f32
     ).astype(demb_ref.dtype)
