@@ -286,18 +286,16 @@ def main():
         ]
 
     def emit(cases):
-        # headline: the fastest successful f32 inference at the 100k
-        # north-star size (strict or TF32-mode — the A100 anchor hardware
-        # runs TF32); then bf16 at >50k (labeled; the multi-tenant chip
-        # sometimes cannot allocate the f32 100k case), then any
-        # successful inference case
-        big = _big_ok(cases)
+        # headline: the fastest successful inference case at the >50k
+        # north-star scale — dtype/tf32-mode is part of the label (the
+        # A100 anchor hardware runs TF32); falls back to any successful
+        # inference case
         big_any = [
             c for c in cases
             if c["mode"] == "infer" and c["atoms"] > 50000 and "error" not in c
         ]
         ok = [c for c in cases if "error" not in c and c["mode"] == "infer"]
-        pool = big or big_any or ok
+        pool = big_any or ok
         headline = max(pool, key=lambda c: c["atom_steps_per_s"]) if pool else cases[0]
         value = headline.get("atom_steps_per_s", 0.0) or 0.0
         qualifier = " tf32" if headline.get("tf32") else ""
