@@ -15,6 +15,11 @@ ATOM_TYPE_KEY: Final[str] = "atom_types"  # (num_atoms,) int
 # (2, num_edges): [0] = destination/center nodes, [1] = source/neighbor nodes
 EDGE_INDEX_KEY: Final[str] = "edge_index"
 EDGE_TRANSPOSE_PERM_KEY: Final[str] = "edge_transpose_perm"
+# precomputed fused-kernel edge layouts (ops/pallas/tp_scatter.py) are stored
+# under keys with this prefix; they are DERIVED from EDGE_INDEX_KEY and must
+# be stripped whenever the edge list is rewritten (stale layouts are
+# shape-compatible and would silently permute messages)
+EDGE_LAYOUT_KEY_PREFIX: Final[str] = "__edge_layout_"
 
 # === cell related ===
 CELL_KEY: Final[str] = "cell"  # (num_frames, 3, 3), rows are cell vectors

@@ -225,7 +225,7 @@ def frame_from_batched(data: Type, index: int) -> Type:
             _keys.NODE_MASK_KEY,
             _keys.EDGE_MASK_KEY,
             _keys.FRAME_MASK_KEY,
-        ):
+        ) or k.startswith(_keys.EDGE_LAYOUT_KEY_PREFIX):
             continue
         ftype = get_field_type(k, error_on_unregistered=False)
         v = np.asarray(v)
@@ -260,7 +260,9 @@ def without_nodes(data: Type, which_nodes: np.ndarray) -> Type:
         edge_keep = mask[ei[0]] & mask[ei[1]]
         out[_keys.EDGE_INDEX_KEY] = remap[ei[:, edge_keep]]
     for k, v in data.items():
-        if k in (_keys.EDGE_INDEX_KEY, _keys.NUM_NODES_KEY):
+        if k in (_keys.EDGE_INDEX_KEY, _keys.NUM_NODES_KEY) or k.startswith(
+            _keys.EDGE_LAYOUT_KEY_PREFIX
+        ):
             continue
         ftype = get_field_type(k, error_on_unregistered=False)
         v = np.asarray(v)

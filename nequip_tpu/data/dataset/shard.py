@@ -168,6 +168,14 @@ class ShardDataset(AtomicDataset):
         return self._header["num_entries"]
 
     def get_frame(self, idx: int) -> dict:
+        """Decode entry ``idx`` as a dict of arrays.
+
+        The arrays are zero-copy READ-ONLY views into the mmap (unlike
+        LMDB's deserialized copies): transforms that mutate arrays in place
+        will raise ``ValueError: assignment destination is read-only`` —
+        copy first (``{k: np.array(v) for ...}``) if in-place mutation is
+        needed.  All in-repo transforms rebind rather than mutate.
+        """
         self._ensure_open()
         n = self._header["num_entries"]
         if not 0 <= idx < n:
@@ -216,8 +224,14 @@ class ShardDataset(AtomicDataset):
                 )
                 f.write(blob)
                 pos += len(blob)
-                if _keys.POSITIONS_KEY in frame:
-                    num_atoms.append(len(frame[_keys.POSITIONS_KEY]))
+                # one entry per frame, ALWAYS: with a mixed iterator the
+                # auto metadata would otherwise silently misalign with entry
+                # indices (positions-less frames get a -1 sentinel)
+                num_atoms.append(
+                    len(frame[_keys.POSITIONS_KEY])
+                    if _keys.POSITIONS_KEY in frame
+                    else -1
+                )
             offsets.append(pos)
 
             # split metadata into array-valued (stored in the TLV blob,

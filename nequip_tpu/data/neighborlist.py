@@ -161,6 +161,8 @@ def compute_neighborlist_(
     edge_index, shifts = neighbor_list(
         data[_keys.POSITIONS_KEY], r_max, cell=cell, pbc=np.asarray(pbc).reshape(-1), backend=backend
     )
+    for k in [k for k in data if k.startswith(_keys.EDGE_LAYOUT_KEY_PREFIX)]:
+        del data[k]  # derived fused-kernel layouts are stale once edges change
     data[_keys.EDGE_INDEX_KEY] = edge_index
     if cell is not None:
         data[_keys.EDGE_CELL_SHIFT_KEY] = shifts

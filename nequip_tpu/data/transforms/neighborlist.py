@@ -54,6 +54,8 @@ class NeighborListPruneTransform:
         r = np.linalg.norm(vec, axis=1)
         cut = self._cutoff_matrix[types[ei[0]], types[ei[1]]]
         keep = r <= cut
+        for k in [k for k in data if k.startswith(_keys.EDGE_LAYOUT_KEY_PREFIX)]:
+            del data[k]  # derived fused-kernel layouts are stale once edges change
         data[_keys.EDGE_INDEX_KEY] = ei[:, keep]
         if _keys.EDGE_CELL_SHIFT_KEY in data:
             data[_keys.EDGE_CELL_SHIFT_KEY] = data[_keys.EDGE_CELL_SHIFT_KEY][keep]

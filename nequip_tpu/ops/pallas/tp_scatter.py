@@ -57,7 +57,14 @@ DEFAULT_ROWS = int(_os.environ.get("NEQUIP_PALLAS_ROWS", 128))
 DEFAULT_BLOCK_E = int(_os.environ.get("NEQUIP_PALLAS_BLOCK_E", 256))
 
 
+# read ONCE at import time (changing the env var later has no effect);
+# validated here so typos fail loudly instead of silently running HIGHEST
 _F32_PRECISION = _os.environ.get("NEQUIP_PALLAS_F32_PRECISION", "highest")
+if _F32_PRECISION not in ("highest", "default"):
+    raise ValueError(
+        f"NEQUIP_PALLAS_F32_PRECISION={_F32_PRECISION!r}: must be 'highest' "
+        "(bf16x6 passes, full f32 fidelity) or 'default' (bf16x3, ~1e-6 rel)"
+    )
 
 
 def _mxu_precision(dtype):
@@ -207,7 +214,7 @@ def attach_edge_layouts(data, with_backward: bool = True):
         num_nodes = data[_keys.NODE_MASK_KEY].shape[0]
     out = dict(data)
     combos = [(DEFAULT_ROWS, DEFAULT_BLOCK_E)]
-    if with_backward:
+    if with_backward and bwd_block_e() != DEFAULT_BLOCK_E:
         combos.append((DEFAULT_ROWS, bwd_block_e()))
     for rows, block_e in combos:
         if num_nodes % rows != 0:
@@ -245,6 +252,13 @@ def compute_edge_layout(
         "chunk_tile": chunk_tile,
         "chunk_first": chunk_first,
         "valid": valid,
+        # staleness guard: a layout silently mis-permutes messages if the
+        # edge list changes under it (shape-compatible, nothing errors), so
+        # a cheap order-sensitive checksum of the edges it was built from is
+        # carried along and checked in _resolve_layout when
+        # NEQUIP_PALLAS_CHECK_LAYOUT=1 (data-side mutators also strip
+        # layouts via _keys.EDGE_LAYOUT_KEY_PREFIX)
+        "fingerprint": _edge_fingerprint(edge_dst, edge_mask),
     }
     if with_dx:
         E = edge_dst.shape[0]
@@ -259,9 +273,40 @@ def compute_edge_layout(
     return lay
 
 
+def _edge_fingerprint(edge_dst, edge_mask):
+    """Order-sensitive int32 checksum of the (masked) edge-destination list.
+
+    Cheap enough to compute at layout-build time and (under
+    ``NEQUIP_PALLAS_CHECK_LAYOUT=1``) at every kernel call; int32 wraparound
+    is deterministic on TPU so equal edge lists always agree."""
+    e = edge_dst.astype(jnp.int32)
+    if edge_mask is not None:
+        e = jnp.where(edge_mask, e, -1)
+    w = (jnp.arange(e.shape[0], dtype=jnp.int32) % 8191) + 1
+    return jnp.sum((e + 2) * w, dtype=jnp.int32)
+
+
+def _assert_fingerprint(fp_now, fp_layout):
+    if int(fp_now) != int(fp_layout):
+        raise AssertionError(
+            "stale precomputed edge layout: the edge list changed since "
+            "attach_edge_layouts() was called (re-attach after every "
+            "neighborlist rebuild, or strip __edge_layout_* keys)"
+        )
+
+
 def _resolve_layout(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout):
     """Unpack a precomputed layout dict, or compute one in-graph."""
     if layout is not None:
+        if (
+            _os.environ.get("NEQUIP_PALLAS_CHECK_LAYOUT", "0") == "1"
+            and "fingerprint" in layout
+        ):
+            jax.debug.callback(
+                _assert_fingerprint,
+                _edge_fingerprint(edge_dst, edge_mask),
+                layout["fingerprint"],
+            )
         return (
             layout["take_idx"],
             layout["rel_dst"],

@@ -255,3 +255,40 @@ def test_pallas_scatter_sum_matches_segment_sum():
     a = pallas_scatter_sum(vals, idx, num_rows, mask=mask, layout=lay)
     b = pallas_scatter_sum(vals, idx, num_rows, mask=mask)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stale_layout_guard(setup, monkeypatch):
+    """NEQUIP_PALLAS_CHECK_LAYOUT=1 catches a layout whose edge list changed
+    after attach (shape-compatible staleness is otherwise silent), and the
+    data-side edge mutators strip __edge_layout_* keys."""
+    from nequip_tpu.ops.pallas.tp_scatter import compute_edge_layout
+
+    monkeypatch.setenv("NEQUIP_PALLAS_CHECK_LAYOUT", "1")
+    tp, x, y, w, dst, src, mask, N = setup
+    layout = compute_edge_layout(dst, src, mask, N)
+    # unchanged edges: passes
+    fused_tp_scatter(tp, x, y, w, dst, src, mask, N, layout=layout)
+
+    # permuted edge list with the SAME shape: must be detected
+    perm = np.random.RandomState(3).permutation(dst.shape[0])
+    with pytest.raises(Exception, match="stale precomputed edge layout"):
+        out = fused_tp_scatter(
+            tp, x, jnp.take(y, perm, axis=0), jnp.take(w, perm, axis=0),
+            jnp.take(dst, perm), jnp.take(src, perm), jnp.take(mask, perm),
+            N, layout=layout,
+        )
+        jax.block_until_ready(out)
+
+    # data-side strip: rebuilding the neighborlist removes attached layouts
+    from nequip_tpu.data import _keys, compute_neighborlist_
+
+    frame = {
+        _keys.POSITIONS_KEY: np.random.RandomState(0).uniform(0, 6, (20, 3)),
+        _keys.CELL_KEY: np.eye(3) * 6.0,
+        _keys.PBC_KEY: np.array([True] * 3),
+        _keys.EDGE_LAYOUT_KEY_PREFIX + "128x256": {"take_idx": np.zeros(4)},
+    }
+    out_frame = compute_neighborlist_(frame, 3.0)
+    assert not any(
+        k.startswith(_keys.EDGE_LAYOUT_KEY_PREFIX) for k in out_frame
+    )
