@@ -174,6 +174,90 @@ def _compute_tp_block(plan: _TPPlan, x, y, w, msg_ref):
             msg_ref[:, col : col + mul] += acc.astype(msg_ref.dtype)
 
 
+def _compute_tp_block_T(plan: _TPPlan, x_t, y_t, w_t, msg_ref_t):
+    """Transposed CG contraction: operands/outputs are [dim, BLOCK_E].
+
+    Lane-occupancy fix for small multiplicities (ROUND2_NOTES: at mul=32 the
+    row-major [BLOCK_E, mul] column ops leave 3/4 of the VPU's 128 lanes
+    idle).  With edges on lanes and mul on sublanes every CG term is a
+    [mul, BLOCK_E] elementwise op — fully packed vregs for any mul that is a
+    multiple of 8.  The per-edge SH component becomes a [1, BLOCK_E] row
+    broadcast across sublanes (native on TPU).
+    """
+    msg_ref_t[:] = jnp.zeros_like(msg_ref_t)
+    for p in plan.paths:
+        mul = p["mul"]
+        wp = w_t[p["w_sl"], :]
+        xw_cache = {}
+        by_m3 = {}
+        for m1, m2, m3, c in p["terms"]:
+            by_m3.setdefault(m3, []).append((m1, m2, c))
+        for m3, terms in by_m3.items():
+            acc = None
+            for m1, m2, c in terms:
+                if m1 not in xw_cache:
+                    off = p["x_off"] + m1 * mul
+                    xw_cache[m1] = x_t[off : off + mul, :] * wp
+                yv = y_t[p["y_off"] + m2 : p["y_off"] + m2 + 1, :]
+                t = (c * yv) * xw_cache[m1]
+                acc = t if acc is None else acc + t
+            row = p["out_off"] + m3 * mul
+            msg_ref_t[row : row + mul, :] += acc.astype(msg_ref_t.dtype)
+
+
+def _compute_tp_bwd_block_T(plan: _TPPlan, x_t, y_t, w_t, ge_t, dx_ref_t, dy_ref_t, dw_ref_t):
+    """Transposed CG-VJP (see ``_compute_tp_bwd_block`` for the algebra):
+    all operands [dim, BLOCK_E]; the dy lane-reduction becomes a sublane
+    reduction (``sum(axis=0)``), which the VPU does natively."""
+    dx_ref_t[:] = jnp.zeros_like(dx_ref_t)
+    dy_ref_t[:] = jnp.zeros_like(dy_ref_t)
+    dw_rows = {}
+    for p in plan.paths:
+        mul = p["mul"]
+        wp = w_t[p["w_sl"], :]
+        by_m3 = {}
+        for m1, m2, m3, c in p["terms"]:
+            by_m3.setdefault(m3, []).append((m1, m2, c))
+        dy_pre = {}  # m2 -> sum_{m1,m3} c * x_m1 * g_m3   (wp factored out)
+        dx_pre = {}  # m1 -> sum_{m2,m3} (c*y_m2) * g_m3   (wp factored out)
+        for m3, terms in by_m3.items():
+            row = p["out_off"] + m3 * mul
+            grow = ge_t[row : row + mul, :]
+            for m1, m2, c in terms:
+                xo = p["x_off"] + m1 * mul
+                xrow = x_t[xo : xo + mul, :]
+                yv = y_t[p["y_off"] + m2 : p["y_off"] + m2 + 1, :]
+                t_y = c * (xrow * grow)
+                dy_pre[m2] = t_y if m2 not in dy_pre else dy_pre[m2] + t_y
+                t_x = (c * yv) * grow
+                dx_pre[m1] = t_x if m1 not in dx_pre else dx_pre[m1] + t_x
+        dw_acc = None
+        for m2, acc in dy_pre.items():
+            yv = y_t[p["y_off"] + m2 : p["y_off"] + m2 + 1, :]
+            t_w = yv * acc
+            dw_acc = t_w if dw_acc is None else dw_acc + t_w
+            dy_ref_t[p["y_off"] + m2 : p["y_off"] + m2 + 1, :] += jnp.sum(
+                wp * acc, axis=0, keepdims=True
+            )
+        for m1, acc in dx_pre.items():
+            xo = p["x_off"] + m1 * mul
+            dx_ref_t[xo : xo + mul, :] += wp * acc
+        dw_rows[p["w_sl"].start] = (p["w_sl"], dw_acc)
+    pos_ = 0
+    for start in sorted(dw_rows):
+        sl, acc = dw_rows[start]
+        if sl.start > pos_:  # gap between weighted paths (none for uvu TPs)
+            dw_ref_t[pos_ : sl.start, :] = jnp.zeros(
+                (sl.start - pos_, x_t.shape[1]), dtype=dw_ref_t.dtype
+            )
+        dw_ref_t[sl, :] = acc.astype(dw_ref_t.dtype)
+        pos_ = sl.stop
+    if pos_ < plan.weight_numel:
+        dw_ref_t[pos_ :, :] = jnp.zeros(
+            (plan.weight_numel - pos_, x_t.shape[1]), dtype=dw_ref_t.dtype
+        )
+
+
 # ---------------------------------------------------------------------------
 # edge re-layout: dst-sorted, tile-aligned chunks
 # ---------------------------------------------------------------------------

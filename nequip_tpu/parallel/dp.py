@@ -15,7 +15,7 @@ NCCL all-reduce) with ``shard_map`` over an ICI mesh:
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Iterator, List, Optional
+from typing import Callable, Dict, Iterable, Iterator, List, Optional
 
 import numpy as np
 import jax
@@ -47,7 +47,7 @@ def stack_microbatches(batches: List[dict]) -> dict:
     shapes = [{k: tuple(b[k].shape) for k in keys} for b in batches]
     assert all(s == shapes[0] for s in shapes), (
         "DP micro-batches must be identically padded (same capacity bucket); "
-        "use DataLoader(n_buckets=1) with data-parallel training"
+        "group_batches() does this grouping automatically for any n_buckets"
     )
     return {
         k: jnp.concatenate([b[k] for b in batches], axis=_concat_axis(k))
@@ -155,16 +155,33 @@ class DataParallel:
 
     def group_batches(self, batches: Iterable[dict]) -> Iterator[dict]:
         """Group per-device micro-batches from a DataLoader into sharded
-        super-batches.  A non-divisible tail is filled with fully-masked
-        copies of the last micro-batch (exact: they contribute zero)."""
-        buf: List[dict] = []
+        super-batches, **bucket-aware**: micro-batches are grouped by their
+        padded shape signature, so capacity bucketing (``DataLoader(
+        n_buckets>1)``) composes with data parallelism — each bucket gets its
+        own compiled step (one jit signature per bucket, exactly as in the
+        single-device case) instead of forcing worst-case padding everywhere.
+
+        Grouping reorders batches *within* an epoch (a batch waits until
+        ``n_devices`` of its bucket arrive) but drops nothing: at the end,
+        each bucket's tail is filled with fully-masked copies of its last
+        micro-batch (exact: they contribute zero to psum'd loss sums,
+        metrics, and gradients)."""
+        bufs: Dict[tuple, List[dict]] = {}
+        order: List[tuple] = []  # flush in first-seen order (deterministic)
         for b in batches:
+            sig = tuple(sorted((k, tuple(np.shape(v))) for k, v in b.items()))
+            if sig not in bufs:
+                bufs[sig] = []
+                order.append(sig)
+            buf = bufs[sig]
             buf.append(b)
             if len(buf) == self.n_devices:
                 yield self.prepare_batches(buf)
-                buf = []
-        if buf:
-            filler = mask_out_batch(buf[-1])
-            while len(buf) < self.n_devices:
-                buf.append(filler)
-            yield self.prepare_batches(buf)
+                bufs[sig] = []
+        for sig in order:
+            buf = bufs[sig]
+            if buf:
+                filler = mask_out_batch(buf[-1])
+                while len(buf) < self.n_devices:
+                    buf.append(filler)
+                yield self.prepare_batches(buf)

@@ -190,11 +190,138 @@ def main():
         f = jax.jit(lambda *a: call(*a)[0])
         return lambda: f(xb, yb, gb, wfull)
 
+    # ---- transposed (edge-on-lanes) variants: the lane-packing candidate --
+    xb_t = jnp.asarray(np.asarray(xb).T)          # [dim_in, be]
+    yb_t = jnp.asarray(np.asarray(yb).T)          # [sh_dim, be]
+    w1_t = jnp.asarray(np.asarray(w1).T)          # [H, n_emb]
+    w2_t = jnp.asarray(np.asarray(w2).T)          # [WN, H]
+    wfull_t = jnp.asarray(
+        np.random.RandomState(2).standard_normal((WN, be)), jnp.float32
+    )
+
+    def make_t(variant, prec):
+        """Transposed-layout blocks.  ``xpose``: per-chunk [be, dim] -> [dim, be]
+        transpose alone; ``cg_t``: transposed CG on pre-transposed inputs;
+        ``full_t``: in-kernel transposes + transposed MLP + CG + scatter
+        dot_general back to [rows, mid]."""
+
+        def _k(x_ref, y_ref, emb_ref, rel_ref, xt_ref, yt_ref, wt_ref,
+               w1t_ref, w2t_ref, out_ref, msg_t_ref):
+            g = pl.program_id(0)
+
+            @pl.when(g == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+            if variant == "xpose":
+                x_t = x_ref[:].T
+                out_ref[:1, :1] += x_t[:1, :1]
+                return
+            if variant == "cg_t":
+                K._compute_tp_block_T(plan, xt_ref[:], yt_ref[:], wt_ref[:], msg_t_ref)
+                out_ref[:1, :1] += msg_t_ref[:1, :1]
+                return
+            if variant == "full_t":
+                x_t = x_ref[:].T
+                y_t = y_ref[:].T
+                emb_t = emb_ref[:].T
+            else:  # full_t_pre: inputs already transposed (isolate xpose cost)
+                x_t, y_t = xt_ref[:], yt_ref[:]
+                emb_t = emb_ref[:].T
+            h_t = jnp.dot(w1t_ref[:], emb_t, preferred_element_type=jnp.float32,
+                          precision=prec)
+            h_t = jax.nn.silu(h_t)
+            w_t = jnp.dot(w2t_ref[:], h_t, preferred_element_type=jnp.float32,
+                          precision=prec).astype(jnp.float32)
+            K._compute_tp_block_T(plan, x_t, y_t, w_t, msg_t_ref)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (be, rows), 1)
+            S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
+            # contract over the edge dim: S [be, rows] x msg_t [mid, be]
+            out_ref[:] += jax.lax.dot_general(
+                S, msg_t_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(out_ref.dtype)
+
+        def call(xb_, yb_, eb_, rel_, xbt_, ybt_, wft_, w1t_, w2t_):
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(G,),
+                in_specs=[
+                    pl.BlockSpec((be, plan.dim_in), lambda g: (0, 0)),
+                    pl.BlockSpec((be, plan.sh_dim), lambda g: (0, 0)),
+                    pl.BlockSpec((be, n_emb), lambda g: (0, 0)),
+                    pl.BlockSpec((be, 1), lambda g: (0, 0)),
+                    pl.BlockSpec((plan.dim_in, be), lambda g: (0, 0)),
+                    pl.BlockSpec((plan.sh_dim, be), lambda g: (0, 0)),
+                    pl.BlockSpec((WN, be), lambda g: (0, 0)),
+                    pl.BlockSpec((H, n_emb), lambda g: (0, 0)),
+                    pl.BlockSpec((WN, H), lambda g: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((rows, plan.mid_dim), lambda g: (0, 0)),
+                scratch_shapes=[pltpu.VMEM((plan.mid_dim, be), jnp.float32)],
+            )
+            return pl.pallas_call(
+                _k, grid_spec=gs,
+                out_shape=jax.ShapeDtypeStruct((rows, plan.mid_dim), jnp.float32),
+                interpret=(jax.default_backend() == "cpu"),
+            )(xb_, yb_, eb_, rel_, xbt_, ybt_, wft_, w1t_, w2t_)
+
+        f = jax.jit(call)
+        return lambda: f(xb, yb, eb, rel, xb_t, yb_t, wfull_t, w1_t, w2_t)
+
+    def make_bwd_t(prec):
+        gb_t = jnp.asarray(
+            np.random.RandomState(1).standard_normal((plan.mid_dim, be)), jnp.float32
+        )
+
+        def _k(xt_ref, yt_ref, gt_ref, wt_ref, dxt_ref, dyt_ref, dwt_scr):
+            g = pl.program_id(0)
+
+            @pl.when(g == 0)
+            def _():
+                dxt_ref[:] = jnp.zeros_like(dxt_ref)
+
+            K._compute_tp_bwd_block_T(
+                plan, xt_ref[:], yt_ref[:], wt_ref[:], gt_ref[:],
+                dxt_ref, dyt_ref, dwt_scr,
+            )
+
+        def call(xbt_, ybt_, gbt_, wft_):
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(G,),
+                in_specs=[
+                    pl.BlockSpec((plan.dim_in, be), lambda g: (0, 0)),
+                    pl.BlockSpec((plan.sh_dim, be), lambda g: (0, 0)),
+                    pl.BlockSpec((plan.mid_dim, be), lambda g: (0, 0)),
+                    pl.BlockSpec((WN, be), lambda g: (0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((plan.dim_in, be), lambda g: (0, 0)),
+                    pl.BlockSpec((plan.sh_dim, be), lambda g: (0, 0)),
+                ],
+                scratch_shapes=[pltpu.VMEM((WN, be), jnp.float32)],
+            )
+            return pl.pallas_call(
+                _k, grid_spec=gs,
+                out_shape=[
+                    jax.ShapeDtypeStruct((plan.dim_in, be), jnp.float32),
+                    jax.ShapeDtypeStruct((plan.sh_dim, be), jnp.float32),
+                ],
+                interpret=(jax.default_backend() == "cpu"),
+            )(xbt_, ybt_, gbt_, wft_)
+
+        f = jax.jit(lambda *a: call(*a)[0])
+        return lambda: f(xb_t, yb_t, gb_t, wfull_t)
+
     HP, DP = jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT
     for v in ("dot", "mlp", "cg", "full"):
         timeit(f"{v} HIGHEST", make(v, HP))
         timeit(f"{v} DEFAULT", make(v, DP))
     timeit("cgvjp (bwd core)", make_bwd(HP))
+    for v in ("xpose", "cg_t", "full_t", "full_t_pre"):
+        timeit(f"{v} DEFAULT", make_t(v, DP))
+    timeit("cgvjp_t (bwd core)", make_bwd_t(HP))
     flop_dot = G * be * rows * plan.mid_dim * 2
     flop_mlp = G * be * (n_emb * H + H * WN) * 2
     print(
