@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--be", type=int, default=256)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument(
+        "--only", type=str, default="",
+        help="comma-separated variant filter (substring match), e.g. '_t,xpose'",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="run on host CPU in interpret mode (JAX_PLATFORMS env is "
         "overridden by the axon plugin; this uses jax.config directly)",
@@ -65,7 +69,11 @@ def main():
     w1 = jnp.asarray(rng.standard_normal((n_emb, H)) * 0.1, jnp.float32)
     w2 = jnp.asarray(rng.standard_normal((H, WN)) * 0.1, jnp.float32)
 
+    only = [s for s in args.only.split(",") if s]
+
     def timeit(name, fn):
+        if only and not any(s in name for s in only):
+            return
         try:
             o = fn()
             np.asarray(o[0, 0])
