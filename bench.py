@@ -398,7 +398,7 @@ def main():
         (23000, "train", "pallas", dtype, max(3, n_steps // 2), False, False, "mid"),
         (100000, "infer", "pallas_fused", dtype, n_steps, False, False, "big"),
         (100000, "infer", "pallas_fused", "bfloat16", n_steps, False, False, "big"),
-        (100000, "train", "pallas_fused", dtype, 2, True, False, "big"),
+        (100000, "train", "pallas", dtype, 2, True, False, "big"),
         (23000, "infer", "pallas_fused", dtype, n_steps, False, False, "mid"),
     ]
 
