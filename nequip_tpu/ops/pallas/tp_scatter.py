@@ -56,6 +56,19 @@ import os as _os
 DEFAULT_ROWS = int(_os.environ.get("NEQUIP_PALLAS_ROWS", 128))
 DEFAULT_BLOCK_E = int(_os.environ.get("NEQUIP_PALLAS_BLOCK_E", 256))
 
+# CG compute layout inside the kernels (import-time):
+#   "row"    — [BLOCK_E, mul] column ops (mul on lanes; pays ~4x lane padding
+#              at mul=32, see ROUND2_NOTES);
+#   "elanes" — transposed [mul, BLOCK_E] ops (edges on lanes, mul on
+#              sublanes; fully packed vregs for mul % 8 == 0, at the cost of
+#              per-chunk in-kernel transposes of the streamed blocks).
+_LAYOUT = _os.environ.get("NEQUIP_PALLAS_LAYOUT", "elanes")
+if _LAYOUT not in ("row", "elanes"):
+    raise ValueError(
+        f"NEQUIP_PALLAS_LAYOUT={_LAYOUT!r}: must be 'row' or 'elanes'"
+    )
+_TRANSPOSED = _LAYOUT == "elanes"
+
 
 # read ONCE at import time (changing the env var later has no effect);
 # validated here so typos fail loudly instead of silently running HIGHEST
@@ -457,11 +470,23 @@ def _kernel(plan: _TPPlan, rows, block_e, ct_ref, cf_ref, x_ref, y_ref, w_ref, r
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
+    if _TRANSPOSED:
+        # lane-packed CG: transpose the streamed blocks so mul sits on
+        # sublanes and edges on lanes, then contract the edge dim of the
+        # one-hot directly against msg_t (no transpose back needed)
+        _compute_tp_block_T(plan, x_ref[:].T, y_ref[:].T, w_ref[:].T, msg_ref)
+        out_ref[:] += jax.lax.dot_general(
+            S, msg_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=_acc_dtype(msg_ref.dtype),
+            precision=_mxu_precision(msg_ref.dtype),
+        ).astype(out_ref.dtype)
+        return
+
     _compute_tp_block(plan, x_ref[:], y_ref[:], w_ref[:], msg_ref)
     # one-hot scatter as an MXU matmul: S[e, r] = (rel_dst[e] == r), then
     # out_tile += S^T @ msg (contraction over the edge dimension)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
-    S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
         S, msg_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=_acc_dtype(msg_ref.dtype),
@@ -517,7 +542,12 @@ def _forward(
             pl.BlockSpec((block_e, 1), lambda g, ct, cf: (g, 0)),
         ],
         out_specs=pl.BlockSpec((rows, plan.mid_dim), lambda g, ct, cf: (ct[g], 0)),
-        scratch_shapes=[pltpu.VMEM((block_e, plan.mid_dim), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM(
+                (plan.mid_dim, block_e) if _TRANSPOSED else (block_e, plan.mid_dim),
+                x.dtype,
+            )
+        ],
     )
     out = pl.pallas_call(
         partial(_kernel, plan, rows, block_e),
@@ -680,6 +710,31 @@ def _bwd_kernel(
     )
 
 
+def _bwd_kernel_T(
+    plan: _TPPlan, rows, block_e,
+    ct_ref, cf_ref, x_ref, y_ref, w_ref, rel_ref, g_ref,
+    dx_ref, dy_ref, dw_ref, ge_ref, dxt_scr, dyt_scr, dwt_scr,
+):
+    """Transposed (edge-on-lanes) backward: the CG-VJP runs on [dim, be]
+    blocks; per-edge cotangents are transposed back on write so the XLA-side
+    scatter consumers are unchanged."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(g_ref.dtype)
+    # ge_t [mid, be]: contract the row dim of g against the row dim of S
+    ge_ref[:] = jax.lax.dot_general(
+        g_ref[:], S, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=_acc_dtype(g_ref.dtype),
+        precision=_mxu_precision(g_ref.dtype),
+    ).astype(ge_ref.dtype)
+    _compute_tp_bwd_block_T(
+        plan, x_ref[:].T, y_ref[:].T, w_ref[:].T, ge_ref[:],
+        dxt_scr, dyt_scr, dwt_scr,
+    )
+    dx_ref[:] = dxt_scr[:].T
+    dy_ref[:] = dyt_scr[:].T
+    dw_ref[:] = dwt_scr[:].T
+
+
 def _backward_kernel_call(
     tp, plan, x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask,
     num_nodes, rows, block_e, g, layout=None,
@@ -717,10 +772,19 @@ def _backward_kernel_call(
             pl.BlockSpec((block_e, plan.sh_dim), lambda g_, ct, cf: (g_, 0)),
             pl.BlockSpec((block_e, plan.weight_numel), lambda g_, ct, cf: (g_, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((block_e, plan.mid_dim), x.dtype)],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((plan.mid_dim, block_e), x.dtype),
+                pltpu.VMEM((plan.dim_in, block_e), x.dtype),
+                pltpu.VMEM((plan.sh_dim, block_e), x.dtype),
+                pltpu.VMEM((plan.weight_numel, block_e), x.dtype),
+            ]
+            if _TRANSPOSED
+            else [pltpu.VMEM((block_e, plan.mid_dim), x.dtype)]
+        ),
     )
     dx_lay, dy_lay, dw_lay = pl.pallas_call(
-        partial(_bwd_kernel, plan, rows, block_e),
+        partial(_bwd_kernel_T if _TRANSPOSED else _bwd_kernel, plan, rows, block_e),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((E_pal, plan.dim_in), x.dtype),
@@ -779,6 +843,37 @@ def _fwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
     S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
         S, msg_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=_acc_dtype(msg_ref.dtype),
+        precision=_mxu_precision(msg_ref.dtype),
+    ).astype(out_ref.dtype)
+
+
+def _fwd_mlp_kernel_T(plan, rows, block_e, alpha0, alpha1,
+                      ct_ref, cf_ref, x_ref, y_ref, emb_ref, rel_ref,
+                      w1t_ref, w2t_ref, out_ref, msg_ref, w_ref):
+    """Transposed fused forward: MLP and CG both run on [dim, be] blocks
+    (``w1t``/``w2t`` arrive pre-transposed; the streamed per-edge blocks are
+    transposed in-kernel)."""
+    g = pl.program_id(0)
+
+    @pl.when(cf_ref[g] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    prec = _mxu_precision(emb_ref.dtype)
+    acc = _acc_dtype(emb_ref.dtype)
+    # transposed radial MLP: [H, n_emb] @ [n_emb, B] -> silu -> [WN, H] @ [H, B]
+    h_t = jnp.dot(w1t_ref[:] * alpha0, emb_ref[:].T,
+                  preferred_element_type=acc, precision=prec)
+    h_t = jax.nn.silu(h_t)
+    w_ref[:] = jnp.dot(w2t_ref[:] * alpha1, h_t,
+                       preferred_element_type=acc, precision=prec).astype(w_ref.dtype)
+
+    _compute_tp_block_T(plan, x_ref[:].T, y_ref[:].T, w_ref[:], msg_ref)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
+    out_ref[:] += jax.lax.dot_general(
+        S, msg_ref[:], dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=_acc_dtype(msg_ref.dtype),
         precision=_mxu_precision(msg_ref.dtype),
     ).astype(out_ref.dtype)
@@ -903,6 +998,75 @@ def _bwd_mlp_kernel(plan, rows, block_e, alpha0, alpha1,
     ).astype(dw1_ref.dtype)
 
 
+def _bwd_mlp_kernel_T(plan, rows, block_e, alpha0, alpha1,
+                      ct_ref, cf_ref, x_ref, y_ref, emb_ref, rel_ref, mask_ref,
+                      w1t_ref, w2t_ref, g_ref,
+                      dx_ref, dy_ref, demb_ref, dw1_ref, dw2_ref,
+                      ge_ref, dw_scr, dxt_scr, dyt_scr):
+    """Transposed fused backward (see ``_bwd_mlp_kernel`` for the algebra):
+    the CG-VJP and MLP-VJP run on [dim, be] blocks; per-edge cotangents are
+    transposed back on write.  The MLP-VJP matmuls contract the edge (lane)
+    dimension directly, so dw1/dw2 accumulate in their original orientation
+    with no extra transposes."""
+    g = pl.program_id(0)
+    prec = _mxu_precision(g_ref.dtype)
+    acc = _acc_dtype(g_ref.dtype)
+
+    @pl.when(g == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(g_ref.dtype)
+    # ge_t [mid, be]: contract the row dim of the g tile against S's row dim
+    ge_ref[:] = jax.lax.dot_general(
+        g_ref[:], S, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=acc, precision=prec,
+    ).astype(ge_ref.dtype)
+
+    # recompute transposed radial MLP (activation math in f32 — see the
+    # row-major kernel for the bf16 Mosaic lowering constraint)
+    w1a = w1t_ref[:] * alpha0  # [H, n_emb]
+    w2a = w2t_ref[:] * alpha1  # [WN, H]
+    emb_t = emb_ref[:].T       # [n_emb, be]
+    h_pre = jnp.dot(w1a, emb_t, preferred_element_type=acc, precision=prec)
+    h_pre = h_pre.astype(acc)
+    sig = jax.nn.sigmoid(h_pre)
+    h_t = (h_pre * sig).astype(emb_t.dtype)  # [H, be]
+    w_t = jnp.dot(w2a, h_t, preferred_element_type=acc, precision=prec).astype(
+        emb_t.dtype
+    )  # [WN, be]
+
+    _compute_tp_bwd_block_T(
+        plan, x_ref[:].T, y_ref[:].T, w_t, ge_ref[:], dxt_scr, dyt_scr, dw_scr
+    )
+    dx_ref[:] = dxt_scr[:].T
+    dy_ref[:] = dyt_scr[:].T
+    # kill cotangents of masked/padding slots ([1, be] sublane broadcast)
+    dw_t = dw_scr[:] * mask_ref[:].T
+
+    # MLP VJP, all contractions over the edge (lane) dimension
+    dh_t = jax.lax.dot_general(
+        w2a, dw_t, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc, precision=prec,
+    ).astype(acc)  # [H, be]
+    dh_pre_t = (dh_t * (sig * (1.0 + h_pre * (1.0 - sig)))).astype(emb_t.dtype)
+    demb_t = jax.lax.dot_general(
+        w1a, dh_pre_t, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=acc, precision=prec,
+    )  # [n_emb, be]
+    demb_ref[:] = demb_t.astype(demb_ref.dtype).T
+    dw2_ref[:] += alpha1 * jax.lax.dot_general(
+        h_t, dw_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc, precision=prec,
+    ).astype(dw2_ref.dtype)
+    dw1_ref[:] += alpha0 * jax.lax.dot_general(
+        emb_t, dh_pre_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc, precision=prec,
+    ).astype(dw1_ref.dtype)
+
+
 def _layout_and_gather(tp_plan, x, edge_attr, edge_dst, edge_src, edge_mask,
                        num_nodes, rows, block_e, layout=None):
     take_idx, rel_dst, chunk_tile, chunk_first, valid = _resolve_layout(
@@ -1008,21 +1172,38 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
                 pl.BlockSpec((block_e, plan.sh_dim), lambda g, ct, cf: (g, 0)),
                 pl.BlockSpec((block_e, n_emb), lambda g, ct, cf: (g, 0)),
                 pl.BlockSpec((block_e, 1), lambda g, ct, cf: (g, 0)),
-                pl.BlockSpec((n_emb, H), lambda g, ct, cf: (0, 0)),
-                pl.BlockSpec((H, WN), lambda g, ct, cf: (0, 0)),
+                pl.BlockSpec(
+                    (H, n_emb) if _TRANSPOSED else (n_emb, H),
+                    lambda g, ct, cf: (0, 0),
+                ),
+                pl.BlockSpec(
+                    (WN, H) if _TRANSPOSED else (H, WN),
+                    lambda g, ct, cf: (0, 0),
+                ),
             ],
             out_specs=pl.BlockSpec((rows, plan.mid_dim), lambda g, ct, cf: (ct[g], 0)),
             scratch_shapes=[
-                pltpu.VMEM((block_e, plan.mid_dim), x.dtype),
-                pltpu.VMEM((block_e, WN), x.dtype),
+                pltpu.VMEM(
+                    (plan.mid_dim, block_e) if _TRANSPOSED else (block_e, plan.mid_dim),
+                    x.dtype,
+                ),
+                pltpu.VMEM(
+                    (WN, block_e) if _TRANSPOSED else (block_e, WN), x.dtype
+                ),
             ],
         )
         return pl.pallas_call(
-            partial(_fwd_mlp_kernel, plan, rows, block_e, alpha0, alpha1),
+            partial(
+                _fwd_mlp_kernel_T if _TRANSPOSED else _fwd_mlp_kernel,
+                plan, rows, block_e, alpha0, alpha1,
+            ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((num_nodes, plan.mid_dim), x.dtype),
             interpret=(jax.default_backend() == "cpu"),
-        )(chunk_tile, chunk_first, x_lay, y_lay, emb_lay, rel_2d, w1, w2)
+        )(
+            chunk_tile, chunk_first, x_lay, y_lay, emb_lay, rel_2d,
+            w1.T if _TRANSPOSED else w1, w2.T if _TRANSPOSED else w2,
+        )
 
     @jax.custom_vjp
     def fused(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_f, lay_b):
@@ -1056,8 +1237,14 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
                 pl.BlockSpec((be, n_emb), lambda g_, ct, cf: (g_, 0)),
                 pl.BlockSpec((be, 1), lambda g_, ct, cf: (g_, 0)),
                 pl.BlockSpec((be, 1), lambda g_, ct, cf: (g_, 0)),
-                pl.BlockSpec((n_emb, H), lambda g_, ct, cf: (0, 0)),
-                pl.BlockSpec((H, WN), lambda g_, ct, cf: (0, 0)),
+                pl.BlockSpec(
+                    (H, n_emb) if _TRANSPOSED else (n_emb, H),
+                    lambda g_, ct, cf: (0, 0),
+                ),
+                pl.BlockSpec(
+                    (WN, H) if _TRANSPOSED else (H, WN),
+                    lambda g_, ct, cf: (0, 0),
+                ),
                 pl.BlockSpec((rows, plan.mid_dim), lambda g_, ct, cf: (ct[g_], 0)),
             ],
             out_specs=[
@@ -1067,13 +1254,25 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
                 pl.BlockSpec((n_emb, H), lambda g_, ct, cf: (0, 0)),
                 pl.BlockSpec((H, WN), lambda g_, ct, cf: (0, 0)),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((be, plan.mid_dim), x.dtype),
-                pltpu.VMEM((be, plan.weight_numel), x.dtype),
-            ],
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((plan.mid_dim, be), x.dtype),
+                    pltpu.VMEM((plan.weight_numel, be), x.dtype),
+                    pltpu.VMEM((plan.dim_in, be), x.dtype),
+                    pltpu.VMEM((plan.sh_dim, be), x.dtype),
+                ]
+                if _TRANSPOSED
+                else [
+                    pltpu.VMEM((be, plan.mid_dim), x.dtype),
+                    pltpu.VMEM((be, plan.weight_numel), x.dtype),
+                ]
+            ),
         )
         dx_lay, dy_lay, demb_lay, dw1, dw2 = pl.pallas_call(
-            partial(_bwd_mlp_kernel, plan, rows, be, alpha0, alpha1),
+            partial(
+                _bwd_mlp_kernel_T if _TRANSPOSED else _bwd_mlp_kernel,
+                plan, rows, be, alpha0, alpha1,
+            ),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((E_pal, plan.dim_in), x.dtype),
@@ -1083,7 +1282,10 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
                 jax.ShapeDtypeStruct((H, WN), x.dtype),
             ],
             interpret=(jax.default_backend() == "cpu"),
-        )(chunk_tile, chunk_first, x_lay, y_lay, emb_lay, rel_2d, mask_f, w1, w2, g)
+        )(
+            chunk_tile, chunk_first, x_lay, y_lay, emb_lay, rel_2d, mask_f,
+            w1.T if _TRANSPOSED else w1, w2.T if _TRANSPOSED else w2, g,
+        )
 
         dx = _dx_scatter(dx_lay, src_lay, wmask, num_nodes, rows, be, lay_b)
         E = edge_dst.shape[0]
