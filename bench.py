@@ -228,6 +228,9 @@ def _run_case_once(
         model, params, data = _example_model_and_batch(
             model_dtype=dtype, n_atoms=n_atoms, l_max=2, tp_impl=tp_impl, remat=remat
         )
+        if os.environ.get("NEQUIP_BENCH_ENERGY_ONLY", "0") == "1":
+            # ablation probe (step-time attribution): skip the force backward
+            model.model.do_derivatives = False
         n_real = int(np.asarray(data[_keys.NODE_MASK_KEY]).sum())
 
         if mode == "train":
@@ -265,12 +268,17 @@ def _run_case_once(
             fwd = jax.jit(lambda p, d: model(p, d))
             compiled = fwd.lower(params, data).compile()
             flops = _flops_of(compiled)
+            sync_key = (
+                _keys.FORCE_KEY
+                if model.model.do_derivatives
+                else _keys.TOTAL_ENERGY_KEY
+            )
             out = fwd(params, data)
-            np.asarray(out[_keys.FORCE_KEY][0])  # tunnel-safe sync
+            np.asarray(out[sync_key][0])  # tunnel-safe sync
             t0 = time.perf_counter()
             for _ in range(n_steps):
                 out = fwd(params, data)
-            np.asarray(out[_keys.FORCE_KEY][0])
+            np.asarray(out[sync_key][0])
             dt = (time.perf_counter() - t0) / n_steps
 
         flops_source = "cost_analysis"
