@@ -333,10 +333,13 @@ def main():
             remat=os.environ.get("NEQUIP_BENCH_REMAT", "0") == "1",
         )
         value = case.get("atom_steps_per_s", 0.0) or 0.0
+        quantity = (
+            "E" if os.environ.get("NEQUIP_BENCH_ENERGY_ONLY", "0") == "1" else "E+F"
+        )
         print(
             json.dumps(
                 {
-                    "metric": f"{mode} throughput ({case['atoms']} atoms, l_max=2, E+F)",
+                    "metric": f"{mode} throughput ({case['atoms']} atoms, l_max=2, {quantity})",
                     "value": value,
                     "unit": "atom-steps/s/chip",
                     "vs_baseline": round(value / _A100_BASELINE_ATOM_STEPS_PER_S, 4),
