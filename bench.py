@@ -129,6 +129,11 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
         last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32)
         if "error" not in last or "RESOURCE_EXHAUSTED" not in last["error"]:
             return last
+        if remat is False and n_atoms > 50000:
+            # HBM fallback before burning a retry sleep: per-layer remat
+            # trades ~30% step time for a much smaller activation footprint
+            remat = True
+            continue
         time.sleep(25)
     return last
 
@@ -296,6 +301,7 @@ def _run_case_once(
             "tp_impl": tp_impl,
             "dtype": dtype,
             "tf32": bool(tf32),
+            "remat": bool(remat) if remat is not None else n_atoms > 50000,
             "step_ms": round(dt * 1e3, 2),
             "atom_steps_per_s": round(n_real / dt, 1),
             "gflops_per_step": round(flops / 1e9, 2) if np.isfinite(flops) else None,
@@ -324,13 +330,15 @@ def main():
         mode = os.environ.get("NEQUIP_BENCH_MODE", "infer")
         if mode == "train" and default_impl == "xla":
             default_impl = "pallas" if n_atoms > 15000 else "xla"
+        remat_env = os.environ.get("NEQUIP_BENCH_REMAT")
         case = run_case(
             n_atoms,
             mode,
             os.environ.get("NEQUIP_BENCH_TP_IMPL", default_impl),
             dtype,
             n_steps,
-            remat=os.environ.get("NEQUIP_BENCH_REMAT", "0") == "1",
+            # unset = auto (on above 50k); "0"/"1" force off/on
+            remat=None if remat_env is None else remat_env == "1",
         )
         value = case.get("atom_steps_per_s", 0.0) or 0.0
         quantity = (
