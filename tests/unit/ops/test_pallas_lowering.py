@@ -94,3 +94,43 @@ def test_tpu_lowering_all_orders(problem, force_mosaic, dt):
     jax.export.export(jax.jit(f), platforms=["tpu"])(x, y, w)
     jax.export.export(jax.jit(g), platforms=["tpu"])(x, y, w)
     jax.export.export(jax.jit(g2), platforms=["tpu"])(x, y, w)
+
+
+def test_tpu_lowering_production_dims(force_mosaic):
+    """Same gate at the flagship dims (mul=32, l_max=2, BLOCK_E-sized edge
+    count): size-dependent Mosaic lowering failures (transposes, sublane
+    tilings) would not reproduce at mul=8."""
+    feats = Irreps("32x0e+32x1e+32x2e")
+    sh = Irreps.spherical_harmonics(2)
+    mid, ins = uvu_instructions(feats, sh, feats)
+    tp = TensorProduct(feats, sh, mid, ins, shared_weights=False)
+    mlp = ScalarMLP(
+        8, tp.weight_numel, hidden_layers_depth=1, hidden_layers_width=64,
+        bias=False, nonlinearity="silu",
+    )
+    r = np.random.RandomState(0)
+    N, E = 128, 512
+    dst = jnp.asarray(np.sort(r.randint(0, N, E)), jnp.int32)
+    src = jnp.asarray(r.randint(0, N, E), jnp.int32)
+    mask = jnp.ones((E,), bool)
+    dt = jnp.float32
+    x = jnp.asarray(r.standard_normal((N, tp.irreps_in1.dim)), dt)
+    y = jnp.asarray(r.standard_normal((E, tp.irreps_in2.dim)), dt)
+    emb = jnp.asarray(r.standard_normal((E, 8)), dt)
+    params = mlp.init(jax.random.PRNGKey(0))
+
+    def f_mlp(x, y, emb, w0, w1):
+        return K.fused_tp_scatter_mlp(
+            tp, mlp, x, y, emb, {"w0": w0, "w1": w1}, dst, src, mask, N
+        )
+
+    def g_mlp(x, y, emb, w0, w1):
+        out, pull = jax.vjp(f_mlp, x, y, emb, w0, w1)
+        return pull(jnp.ones_like(out))
+
+    jax.export.export(jax.jit(f_mlp), platforms=["tpu"])(
+        x, y, emb, params["w0"], params["w1"]
+    )
+    jax.export.export(jax.jit(g_mlp), platforms=["tpu"])(
+        x, y, emb, params["w0"], params["w1"]
+    )
