@@ -413,7 +413,7 @@ def main():
     plan = [
         (4000, "infer", "xla", dtype, n_steps, False, False, "cheap"),
         (23000, "infer", "xla", dtype, n_steps, False, False, "cheap"),
-        (23000, "md", "xla", dtype, n_steps, False, False, "mid"),
+        (23000, "md", "pallas_fused", dtype, n_steps, False, False, "mid"),
         (23000, "train", "pallas", dtype, max(3, n_steps // 2), False, False, "mid"),
         (100000, "infer", "pallas_fused", dtype, n_steps, False, False, "big"),
         (100000, "infer", "pallas_fused", "bfloat16", n_steps, False, False, "big"),

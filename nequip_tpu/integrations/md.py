@@ -432,7 +432,8 @@ class MDDriver:
             # force refreshes run in ONE jitted call; the host transfers
             # nothing per block (overflow is checked at sync points only)
             fused = self._fused_block_fn()
-            batch_rest = {k: jnp.asarray(v) for k, v in self._batch_rest.items()}
+            # tree-map: precomputed __edge_layout_* entries are nested dicts
+            batch_rest = jax.tree.map(jnp.asarray, self._batch_rest)
             nl_pos = jnp.asarray(self._nl_pos, dtype=self._dtype)
             overflow_any = jnp.zeros((), bool)
             while steps_done < n_steps:
