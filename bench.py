@@ -326,9 +326,11 @@ def main():
     if "NEQUIP_BENCH_ATOMS" in os.environ:
         # single-case mode (kernel tuning / ad-hoc runs)
         n_atoms = int(os.environ["NEQUIP_BENCH_ATOMS"])
-        default_impl = "xla" if n_atoms <= 50000 else "pallas_fused"
+        # pallas_fused beats the XLA path at every measured size since the
+        # transposed layout + be=256 backward (86.2k vs 72.1k at 23k)
+        default_impl = "pallas_fused"
         mode = os.environ.get("NEQUIP_BENCH_MODE", "infer")
-        if mode == "train" and default_impl == "xla":
+        if mode == "train":
             default_impl = "pallas" if n_atoms > 15000 else "xla"
         remat_env = os.environ.get("NEQUIP_BENCH_REMAT")
         case = run_case(
@@ -412,13 +414,13 @@ def main():
     # budget; tier "mid" needs remaining budget only.
     plan = [
         (4000, "infer", "xla", dtype, n_steps, False, False, "cheap"),
-        (23000, "infer", "xla", dtype, n_steps, False, False, "cheap"),
+        (23000, "infer", "pallas_fused", dtype, n_steps, False, False, "cheap"),
+        (23000, "infer", "xla", dtype, n_steps, False, False, "mid"),
         (23000, "md", "pallas_fused", dtype, n_steps, False, False, "mid"),
         (23000, "train", "pallas", dtype, max(3, n_steps // 2), False, False, "mid"),
         (100000, "infer", "pallas_fused", dtype, n_steps, False, False, "big"),
         (100000, "infer", "pallas_fused", "bfloat16", n_steps, False, False, "big"),
         (100000, "train", "pallas", dtype, 2, True, False, "big"),
-        (23000, "infer", "pallas_fused", dtype, n_steps, False, False, "mid"),
     ]
 
     cases = []
