@@ -129,10 +129,11 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
         last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32)
         if "error" not in last or "RESOURCE_EXHAUSTED" not in last["error"]:
             return last
-        if remat is False and n_atoms > 50000:
-            # HBM fallback before burning a retry sleep: per-layer remat
-            # trades ~30% step time for a much smaller activation footprint
-            remat = True
+        if n_atoms > 50000 and remat in (False, "save_tp"):
+            # HBM fallback ladder before burning a retry sleep: save_tp keeps
+            # one [N, mid] residual per layer; full remat drops that too at
+            # ~30% step-time recompute cost
+            remat = "save_tp" if remat is False else True
             continue
         time.sleep(25)
     return last
@@ -301,7 +302,11 @@ def _run_case_once(
             "tp_impl": tp_impl,
             "dtype": dtype,
             "tf32": bool(tf32),
-            "remat": bool(remat) if remat is not None else n_atoms > 50000,
+            "remat": (
+                remat
+                if remat is not None
+                else ("save_tp" if n_atoms > 50000 else False)
+            ),
             "step_ms": round(dt * 1e3, 2),
             "atom_steps_per_s": round(n_real / dt, 1),
             "gflops_per_step": round(flops / 1e9, 2) if np.isfinite(flops) else None,
@@ -339,8 +344,12 @@ def main():
             os.environ.get("NEQUIP_BENCH_TP_IMPL", default_impl),
             dtype,
             n_steps,
-            # unset = auto (on above 50k); "0"/"1" force off/on
-            remat=None if remat_env is None else remat_env == "1",
+            # unset = auto (save_tp above 50k); "0"/"1"/"save_tp" force
+            remat=(
+                None
+                if remat_env is None
+                else ("save_tp" if remat_env == "save_tp" else remat_env == "1")
+            ),
         )
         value = case.get("atom_steps_per_s", 0.0) or 0.0
         quantity = (

@@ -31,7 +31,8 @@ class ConvNetLayer(GraphModule):
     ):
         super().__init__()
         assert nonlinearity_type in ("gate", "norm")
-        self.remat = bool(remat)
+        assert remat in (False, True, "save_tp"), remat
+        self.remat = remat
         nl_scalars = {1: nonlinearity_scalars["e"], -1: nonlinearity_scalars["o"]}
         nl_gates = {1: nonlinearity_gates["e"], -1: nonlinearity_gates["o"]}
         convolution_kwargs = dict(convolution_kwargs or {})
@@ -107,6 +108,23 @@ class ConvNetLayer(GraphModule):
         return data
 
     def __call__(self, params: Params, data: dict) -> dict:
+        if self.remat == "save_tp":
+            # middle ground for 100k+ force calls: save ONLY the TP-kernel
+            # output (checkpoint_name'd in InteractionBlock) and the layer
+            # inputs; the node-level tail (merge/linear_2/sc/gate) and the
+            # cheap layer head are rematerialized, but the expensive fused
+            # TP forward is NOT re-run (its only output is the saved value,
+            # so the recompute trace DCEs the kernel call).  Costs one
+            # [N, mid_dim] residual per layer instead of full-remat's ~30%
+            # step-time recompute.
+            import jax
+
+            return jax.checkpoint(
+                self._apply,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_tp_out"
+                ),
+            )(params, data)
         if self.remat:
             # rematerialize the whole conv layer in the backward pass:
             # trades recompute for HBM (needed for 100k+ atom force calls)

@@ -214,6 +214,13 @@ class InteractionBlock(GraphModule):
                 layout=layout,
             )
 
+        # name the TP output for the "save_tp" remat policy: per-layer
+        # checkpointing can then save ONLY this (the expensive-to-recompute
+        # kernel result) and rematerialize the cheap node-level tail
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = checkpoint_name(x, "conv_tp_out")
+
         x = self.linear_2(params["linear_2"], self._merge_mid(x))
 
         if self.sc is not None:
