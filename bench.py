@@ -125,17 +125,20 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
     post-mortem: 3x90 s sleeps per failing case starved the whole matrix)."""
     last = None
     tf32 = tf32 or os.environ.get("NEQUIP_BENCH_TF32", "0") == "1"
-    for attempt in range(2):
+    attempts_left = 2
+    while attempts_left > 0:
         last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32)
         if "error" not in last or "RESOURCE_EXHAUSTED" not in last["error"]:
             return last
         if n_atoms > 50000 and remat in (False, "save_tp"):
-            # HBM fallback ladder before burning a retry sleep: save_tp keeps
-            # one [N, mid] residual per layer; full remat drops that too at
-            # ~30% step-time recompute cost
+            # HBM fallback ladder (does not consume retry attempts or sleep):
+            # save_tp keeps one [N, mid] residual per layer; full remat drops
+            # that too at ~30% step-time recompute cost
             remat = "save_tp" if remat is False else True
             continue
-        time.sleep(25)
+        attempts_left -= 1
+        if attempts_left:
+            time.sleep(25)
     return last
 
 
