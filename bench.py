@@ -184,8 +184,8 @@ def _run_md_case(n_atoms, tp_impl, dtype, n_md_steps):
             VelocityVerlet(dt_fs=2.0),
             masses=np.full(n_real, 63.546),
             skin=0.5,
-            steps_per_block=10,
-            nl_backend="device",
+            steps_per_block=int(os.environ.get("NEQUIP_BENCH_MD_BLOCK", 10)),
+            nl_backend=os.environ.get("NEQUIP_BENCH_MD_NL", "device"),
         )
         vel = maxwell_boltzmann_velocities(
             np.full(n_real, 63.546), temperature_K=300.0, seed=1
