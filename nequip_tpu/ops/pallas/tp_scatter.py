@@ -1218,8 +1218,13 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
         out = fused(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_f, lay_b)
         return out, (x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b)
 
-    def bwd(res, g):
-        x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b = res
+    @jax.custom_vjp
+    def kernel_bwd(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b, g):
+        """Monolithic backward kernel: (dx, dy, demb, dw1, dw2) in one pass.
+
+        Itself a ``custom_vjp`` (see ``kernel_bwd_bwd`` below) so the
+        MLP-fused family is closed under AD like the trilinear family —
+        force-loss *training* can run the fully-fused forward/backward."""
         be = bwd_block_e(block_e)  # bwd working set is ~2.5x fwd; smaller blocks
         (take_idx, safe_idx, src_lay, x_lay, y_lay, wmask, rel_dst,
          chunk_tile, chunk_first) = _layout_and_gather(
@@ -1300,9 +1305,69 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
         demb = jnp.zeros_like(edge_embed).at[take_idx].set(
             jnp.where(wmask[:, None], demb_lay, 0), mode="drop"
         )
-        return dx, dy, demb, dw1.astype(w1.dtype), dw2.astype(w2.dtype), None, None, None, None, None
+        return dx, dy, demb, dw1.astype(w1.dtype), dw2.astype(w2.dtype)
+
+    def bwd(res, g):
+        x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b = res
+        dx, dy, demb, dw1, dw2 = kernel_bwd(
+            x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b, g
+        )
+        return dx, dy, demb, dw1, dw2, None, None, None, None, None
 
     fused.defvjp(fwd, bwd)
+
+    # ---- closure under AD: kernel_bwd's VJP via a differentiable
+    # composition.  Write F(x, y, emb, w1, w2) = F_tri(x, y, M(emb, w1, w2))
+    # with M the radial MLP and F_tri the trilinear gather-TP-scatter family
+    # (AD-closed, ``_make_fused_uncached``).  kernel_bwd IS the VJP of F, so
+    # its own VJP is obtained by differentiating the composition: XLA handles
+    # M's (smooth) AD, the trilinear kernels handle F_tri's.  The [E, WN]
+    # radial-weight tensor materializes in HBM only inside this second-order
+    # pass (training) — forward/first-order stay fully fused.
+    be = bwd_block_e(block_e)
+
+    def _mlp_weights(emb, w1_, w2_):
+        # exact ScalarMLP semantics for the depth-1 bias-free silu MLP
+        # (ops/mlp.py __call__): alphas fold the init-variance gains
+        h = jax.nn.silu(
+            jnp.matmul(emb, w1_ * alpha0, preferred_element_type=emb.dtype)
+        )
+        return jnp.matmul(h, w2_ * alpha1, preferred_element_type=emb.dtype)
+
+    def _bwd_ref(x, y, emb, w1, w2, edge_dst, edge_src, edge_mask, lay_b, g):
+        # differentiable reference implementation of kernel_bwd: the
+        # masked-slot semantics match the monolithic kernel (masked edges
+        # get zero radial weights inside F_tri, so demb rows vanish there)
+        def f(x_, y_, emb_, w1_, w2_):
+            W = _mlp_weights(emb_, w1_, w2_)
+            return fused_tp_scatter(
+                tp, x_, y_, W, edge_dst, edge_src,
+                edge_mask if has_mask else None,
+                num_nodes, rows, be, layout=lay_b,
+            )
+
+        _, vjp = jax.vjp(f, x, y, emb, w1, w2)
+        dx, dy, demb, dw1, dw2 = vjp(g)
+        return dx, dy, demb, dw1.astype(w1.dtype), dw2.astype(w2.dtype)
+
+    def kernel_bwd_fwd(x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b, g):
+        out = kernel_bwd(
+            x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b, g
+        )
+        return out, (x, edge_attr, edge_embed, w1, w2, edge_dst, edge_src, edge_mask, lay_b, g)
+
+    def kernel_bwd_bwd(res, cts):
+        x, y, emb, w1, w2, edge_dst, edge_src, edge_mask, lay_b, g = res
+        _, vjp2 = jax.vjp(
+            lambda x_, y_, emb_, w1_, w2_, g_: _bwd_ref(
+                x_, y_, emb_, w1_, w2_, edge_dst, edge_src, edge_mask, lay_b, g_
+            ),
+            x, y, emb, w1, w2, g,
+        )
+        ddx, ddy, ddemb, ddw1, ddw2, dg = vjp2(cts)
+        return ddx, ddy, ddemb, ddw1, ddw2, None, None, None, None, dg
+
+    kernel_bwd.defvjp(kernel_bwd_fwd, kernel_bwd_bwd)
     return fused
 
 

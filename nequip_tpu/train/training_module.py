@@ -272,34 +272,11 @@ class NequIPTrainModule:
         )
 
         # force/stress losses differentiate through ForceStressOutput's
-        # jax.grad (reverse-over-reverse). The 'pallas' fused kernel family is
-        # closed under differentiation (ops/pallas/tp_scatter.py) so it trains
-        # fine; only the radial-MLP-in-kernel variant is first-order.
-        from ..data import _keys as _k
-        from ..nn.tp_scatter import TensorProductScatter
-
-        uses_derivative_loss = any(
-            e["mod"].field in (_k.FORCE_KEY, _k.STRESS_KEY, _k.VIRIAL_KEY)
-            for e in loss_mgr.entries
-        )
-        if uses_derivative_loss:
-            def _check(m):
-                if isinstance(m, TensorProductScatter):
-                    assert m.impl in ("xla", "pallas"), (
-                        "training with force/stress losses requires "
-                        "tp_impl='xla' or 'pallas' (the fully-fused "
-                        "'pallas_fused' variant is first-order only; it is "
-                        "for inference/MD)"
-                    )
-                if hasattr(m, "module_dict"):
-                    for v in m.module_dict.values():
-                        _check(v)
-                for attr in ("model", "func", "conv", "tp_scatter"):
-                    v = getattr(m, attr, None)
-                    if v is not None and hasattr(v, "irreps_in"):
-                        _check(v)
-
-            _check(model)
+        # jax.grad (reverse-over-reverse).  Every Pallas kernel family is
+        # closed under differentiation (ops/pallas/tp_scatter.py): the
+        # trilinear 'pallas' family natively, and the radial-MLP-in-kernel
+        # 'pallas_fused' variant via its backward kernel's composition VJP —
+        # so all tp_impl choices train with derivative losses.
 
         def train_step(state: TrainState, batch: dict, loss_coeffs=None, lr_scale=None):
             def loss_fn(params):

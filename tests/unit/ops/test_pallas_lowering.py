@@ -85,10 +85,21 @@ def test_tpu_lowering_all_orders(problem, force_mosaic, dt):
 
         return jax.grad(inner)(x)
 
+    def g2_mlp(x, y, emb, w0, w1):  # force-loss training on the fused path
+        def inner(yy):
+            out, pull = jax.vjp(lambda q: f_mlp(x, q, emb, w0, w1), yy)
+            (fy,) = pull(jnp.ones_like(out))
+            return jnp.sum(fy.astype(jnp.float32) ** 2)
+
+        return jax.grad(inner)(y)
+
     jax.export.export(jax.jit(f_mlp), platforms=["tpu"])(
         x, y, emb, params["w0"], params["w1"]
     )
     jax.export.export(jax.jit(g_mlp), platforms=["tpu"])(
+        x, y, emb, params["w0"], params["w1"]
+    )
+    jax.export.export(jax.jit(g2_mlp), platforms=["tpu"])(
         x, y, emb, params["w0"], params["w1"]
     )
     jax.export.export(jax.jit(f), platforms=["tpu"])(x, y, w)

@@ -188,6 +188,67 @@ def test_second_order_parity(setup):
         )
 
 
+def test_second_order_parity_fused_mlp(setup):
+    """Reverse-over-reverse through the MLP-fused (kernel v2) variant == XLA.
+
+    Force-loss training on ``pallas_fused``: the monolithic backward kernel
+    is itself custom_vjp'd via a differentiable composition (XLA radial MLP
+    + the AD-closed trilinear kernel family), so the fully-fused path trains.
+    Checks the 2nd-order cotangents of node features, SH, embeddings AND the
+    MLP parameters (the training-relevant ones).
+    """
+    from nequip_tpu.ops.mlp import ScalarMLP
+    from nequip_tpu.ops.pallas.tp_scatter import fused_tp_scatter_mlp
+    from nequip_tpu.ops.scatter import scatter_sum
+
+    tp, x, y, w, dst, src, mask, N = setup
+    r = np.random.RandomState(11)
+    n_emb = 8
+    mlp = ScalarMLP(
+        input_dim=n_emb, output_dim=tp.weight_numel,
+        hidden_layers_depth=1, hidden_layers_width=16,
+        nonlinearity="silu", bias=False,
+    )
+    p = mlp.init(jax.random.PRNGKey(5))
+    emb = jnp.asarray(r.standard_normal((dst.shape[0], n_emb)))
+    gref = jnp.asarray(r.standard_normal((N, tp.irreps_out.dim)))
+    tgt = jnp.asarray(r.standard_normal(y.shape))
+
+    def ref_op(xx, yy, ee, pp):
+        wts = mlp(pp, jnp.where(mask[:, None], ee, 0))
+        xs = jnp.take(xx, src, axis=0)
+        return scatter_sum(tp(xs, yy, wts), dst, num_segments=N, mask=mask)
+
+    def fused_op(xx, yy, ee, pp):
+        return fused_tp_scatter_mlp(tp, mlp, xx, yy, ee, pp, dst, src, mask, N)
+
+    def make_force_loss(op):
+        def force_loss(xx, ee, pp):
+            # "forces": inner vjp w.r.t. the SH input (positions enter via
+            # the SH in the real model), differentiated again
+            _, vjp = jax.vjp(lambda yy: op(xx, yy, ee, pp), y)
+            (fy,) = vjp(gref)
+            return jnp.sum((fy - tgt) ** 2) + jnp.sum(fy * y)
+        return force_loss
+
+    lf = make_force_loss(fused_op)
+    lr = make_force_loss(ref_op)
+    np.testing.assert_allclose(float(lf(x, emb, p)), float(lr(x, emb, p)), rtol=1e-10)
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(x, emb, p)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(x, emb, p)
+    for a, b, name in zip(gf[:2], gr[:2], ("x", "emb")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9,
+            err_msg=f"2nd-order cotangent mismatch for {name}",
+        )
+    for k in p:
+        np.testing.assert_allclose(
+            np.asarray(gf[2][k]), np.asarray(gr[2][k]), rtol=1e-7, atol=1e-9,
+            err_msg=f"2nd-order param cotangent mismatch for {k}",
+        )
+
+
 def test_third_order_runs(setup):
     """The family is closed at every order: grad^3 traces and is finite."""
     tp, x, y, w, dst, src, mask, N = setup
