@@ -128,9 +128,23 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
     attempts_left = 2
     while attempts_left > 0:
         last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32)
-        if "error" not in last or "RESOURCE_EXHAUSTED" not in last["error"]:
+        err = last.get("error", "")
+        # tpu_compile_helper exit 1 / HTTP 500 through the tunnel is either a
+        # transient backend failure or a compile-time memory blowup at >50k —
+        # both deserve the same remat-ladder + retry treatment as runtime OOM
+        # (r3 matrix log: 100k f32 rows died on it while 108k bf16 compiled)
+        transient = (
+            "RESOURCE_EXHAUSTED" in err
+            or "tpu_compile_helper" in err
+            or "HTTP 500" in err
+        )
+        if not err or not transient:
             return last
-        if n_atoms > 50000 and remat in (False, "save_tp"):
+        # ladder eligibility: >50k always (activations alone overflow a
+        # co-tenanted chip), and 23k-class TRAIN (the f32 train program needs
+        # 15.3 GB temp without remat — r3 attribution)
+        ladder_ok = n_atoms > 50000 or (mode == "train" and n_atoms > 15000)
+        if ladder_ok and remat in (False, "save_tp"):
             # HBM fallback ladder (does not consume retry attempts or sleep):
             # save_tp keeps one [N, mid] residual per layer; full remat drops
             # that too at ~30% step-time recompute cost
@@ -339,7 +353,13 @@ def main():
         default_impl = "pallas_fused"
         mode = os.environ.get("NEQUIP_BENCH_MODE", "infer")
         if mode == "train":
-            default_impl = "pallas" if n_atoms > 15000 else "xla"
+            # 23k-class: pallas (fused pays a 1.10x duplicated-primal cost);
+            # >50k: pallas_fused is the only impl that compiles at all
+            default_impl = (
+                "pallas_fused"
+                if n_atoms > 50000
+                else ("pallas" if n_atoms > 15000 else "xla")
+            )
         remat_env = os.environ.get("NEQUIP_BENCH_REMAT")
         case = run_case(
             n_atoms,
@@ -386,9 +406,11 @@ def main():
         # north-star scale — dtype/tf32-mode is part of the label; falls
         # back to any successful inference-class case (23k/4k), so the
         # headline is nonzero as soon as the FIRST cheap case lands.
-        # vs_baseline is only computed for float32 non-tf32 headlines (the
-        # A100 anchor is a single number; ratioing a bf16 run against it
-        # would mix precisions — emit null instead).
+        # vs_baseline is only computed for float32 headlines: the A100 anchor
+        # is TF32-class, so a float32+tf32 run is the precision-MATCHED
+        # comparison and strict float32 ("highest", bf16x6) is conservative —
+        # both are fair ratios.  bf16 is looser than the anchor, so a bf16
+        # headline emits null instead of mixing precisions (ADVICE r2 #4).
         infer_like = [
             c for c in cases if c.get("mode") in ("infer", "md") and "error" not in c
         ]
@@ -397,9 +419,7 @@ def main():
         headline = max(pool, key=lambda c: c["atom_steps_per_s"]) if pool else cases[0]
         value = headline.get("atom_steps_per_s", 0.0) or 0.0
         qualifier = " tf32" if headline.get("tf32") else ""
-        baseline_comparable = (
-            headline.get("dtype") == "float32" and not headline.get("tf32")
-        )
+        baseline_comparable = headline.get("dtype") == "float32"
         mode_label = "MD" if headline.get("mode") == "md" else "MD inference"
         print(
             json.dumps(
@@ -424,15 +444,24 @@ def main():
     # (atoms, mode, impl, dtype, steps, remat, tf32, tier)
     # tier "cheap" always runs; tier "big" needs the HBM probe AND remaining
     # budget; tier "mid" needs remaining budget only.
+    # Ordering rationale (r3): after the two cheap anchors, the proven-good
+    # >50k bf16 case runs FIRST among the expensive rows so the north-star-
+    # scale headline lands before the slow-compiling cases (the md case's
+    # cold Mosaic+XLA compile took >20 min through the tunnel).  Train rows
+    # use remat="save_tp": the 23k f32 train program needs 15.3 GB of temp
+    # without it — un-runnable on a co-tenanted 16 GB chip (r3 attribution).
     plan = [
         (4000, "infer", "xla", dtype, n_steps, False, False, "cheap"),
         (23000, "infer", "pallas_fused", dtype, n_steps, False, False, "cheap"),
-        (23000, "infer", "xla", dtype, n_steps, False, False, "mid"),
-        (23000, "md", "pallas_fused", dtype, n_steps, False, False, "mid"),
-        (23000, "train", "pallas", dtype, max(3, n_steps // 2), False, False, "mid"),
-        (100000, "infer", "pallas_fused", dtype, n_steps, False, False, "big"),
         (100000, "infer", "pallas_fused", "bfloat16", n_steps, False, False, "big"),
-        (100000, "train", "pallas", dtype, 2, True, False, "big"),
+        (100000, "infer", "pallas_fused", dtype, n_steps, False, True, "big"),
+        (23000, "infer", "xla", dtype, n_steps, False, False, "mid"),
+        (23000, "train", "pallas", dtype, max(3, n_steps // 2), False, True, "mid"),
+        (100000, "infer", "pallas_fused", dtype, n_steps, False, False, "big"),
+        (23000, "md", "pallas_fused", dtype, n_steps, False, False, "mid"),
+        # pallas_fused is the ONLY impl that compiles at 100k (VERDICT r2);
+        # it trains since the composition VJP landed (commit 747fe5e)
+        (100000, "train", "pallas_fused", dtype, 2, True, True, "big"),
     ]
 
     cases = []

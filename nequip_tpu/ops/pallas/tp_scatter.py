@@ -422,7 +422,20 @@ def _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):
     """
     E = edge_dst.shape[0]
     T = num_nodes // rows
-    order = jnp.argsort(edge_dst, stable=True)
+    # Both neighborlist backends emit edges center-major (host C++ loops over
+    # centers, csrc/neighborlist.cpp:230; the device cell list fills slot
+    # i*k_max+k with dst=i even for masked slots), so edge_dst is usually
+    # already non-decreasing and the stable argsort is the identity.  A
+    # million-edge argsort is seconds-slow on TPU (bitonic network), so
+    # detect sortedness at runtime and lax.cond it away — bit-identical,
+    # because stable argsort of a sorted array IS iota.
+    iota = jnp.arange(E, dtype=jnp.int32)
+    is_sorted = jnp.all(edge_dst[1:] >= edge_dst[:-1]) if E > 1 else jnp.bool_(True)
+    order = jax.lax.cond(
+        is_sorted,
+        lambda: iota,
+        lambda: jnp.argsort(edge_dst, stable=True).astype(jnp.int32),
+    )
     dst_sorted = jnp.take(edge_dst, order)
     tile_sorted = dst_sorted // rows
 

@@ -35,6 +35,27 @@ def test_remat_fallback_ladder(bench, monkeypatch):
     assert calls == [False, "save_tp", True]
 
 
+def test_compile_helper_failure_walks_ladder(bench, monkeypatch):
+    """tpu_compile_helper HTTP 500 (tunnel backend failure or compile-time
+    memory blowup) gets the same remat ladder as runtime OOM (r3 matrix log:
+    100k f32 rows died on it with no fallback)."""
+    calls = []
+
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32):
+        calls.append(remat)
+        if remat is not True:
+            return {"error": "JaxRuntimeError: INTERNAL: HTTP 500: "
+                             "tpu_compile_helper subprocess exit code 1"}
+        return {"atoms": n_atoms, "mode": mode, "tp_impl": tp_impl,
+                "dtype": dtype, "atom_steps_per_s": 1.0}
+
+    monkeypatch.setattr(bench, "_run_case_once", fake_once)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench.run_case(100000, "infer", "pallas_fused", remat=False)
+    assert "error" not in out
+    assert calls == [False, "save_tp", True]
+
+
 def test_small_case_no_remat_ladder(bench, monkeypatch):
     calls = []
 
