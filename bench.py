@@ -144,12 +144,22 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
         # co-tenanted chip), and 23k-class TRAIN (the f32 train program needs
         # 15.3 GB temp without remat — r3 attribution)
         ladder_ok = n_atoms > 50000 or (mode == "train" and n_atoms > 15000)
-        if ladder_ok and remat in (False, "save_tp"):
-            # HBM fallback ladder (does not consume retry attempts or sleep):
-            # save_tp keeps one [N, mid] residual per layer; full remat drops
-            # that too at ~30% step-time recompute cost
-            remat = "save_tp" if remat is False else True
-            continue
+        if ladder_ok:
+            # HBM fallback ladder (does not consume retry attempts or sleep).
+            # infer: save_tp keeps one [N, mid] residual per layer; full
+            # remat drops that too at ~30% step-time recompute cost.
+            # train: per-layer policies do NOT bound train temp (the loss
+            # backward saves the force-VJP residuals regardless); the
+            # "force" policies checkpoint the whole E+F branch instead
+            # (grad_output.py)
+            if mode == "train":
+                nxt = {False: "force", "save_tp": "force",
+                       True: "force_full", "force": "force_full"}.get(remat)
+            else:
+                nxt = {False: "save_tp", "save_tp": True}.get(remat)
+            if nxt is not None:
+                remat = nxt
+                continue
         attempts_left -= 1
         if attempts_left:
             time.sleep(25)
@@ -367,11 +377,16 @@ def main():
             os.environ.get("NEQUIP_BENCH_TP_IMPL", default_impl),
             dtype,
             n_steps,
-            # unset = auto (save_tp above 50k); "0"/"1"/"save_tp" force
+            # unset = auto (save_tp above 50k); "0"/"1" bool, any other
+            # string ("save_tp"/"force"/"force_full") passes through
             remat=(
                 None
                 if remat_env is None
-                else ("save_tp" if remat_env == "save_tp" else remat_env == "1")
+                else (
+                    remat_env == "1"
+                    if remat_env in ("0", "1")
+                    else remat_env
+                )
             ),
         )
         value = case.get("atom_steps_per_s", 0.0) or 0.0

@@ -153,6 +153,7 @@ def FullNequIPGNNModel(
     convnet_nonlinearity_gates: Dict[str, str] = {"e": "silu", "o": "tanh"},
     tp_impl: str = "xla",
     remat_conv: bool = False,
+    remat_force: bool = False,
 ) -> GraphModel:
     """Fully-explicit NequIP GNN builder (one config entry per layer)."""
     type_names = list(type_names)
@@ -263,7 +264,7 @@ def FullNequIPGNNModel(
     energy_model = _append_energy_modules(
         energy_model, type_names=type_names, pair_potential=pair_potential
     )
-    wrapped = ForceStressOutput(energy_model, do_derivatives)
+    wrapped = ForceStressOutput(energy_model, do_derivatives, remat=remat_force)
     return GraphModel(
         wrapped,
         type_names=type_names,

@@ -28,10 +28,22 @@ from .module import GraphModule, Params
 
 
 class ForceStressOutput(GraphModule):
-    def __init__(self, func: GraphModule, do_derivatives: bool = True):
+    def __init__(
+        self, func: GraphModule, do_derivatives: bool = True, remat: bool = False
+    ):
         super().__init__()
         self.func = func
         self.do_derivatives = do_derivatives
+        # ``remat=True`` wraps the whole E+F computation in jax.checkpoint.
+        # Per-layer remat inside ``func`` only bounds the *first* backward
+        # (the force pass); when a force-containing LOSS is differentiated,
+        # the outer backward linearizes through the force VJP and XLA saves
+        # every residual of that graph — measured 23k f32: 14.2-15.0 GiB of
+        # temp regardless of per-layer policy.  Checkpointing the force
+        # branch itself makes the loss backward RECOMPUTE the E+F graph
+        # (with the per-layer policies applying to the nested AD) instead
+        # of storing its residuals.  No effect on inference (primal-only).
+        self.remat = remat
         self._init_irreps(
             irreps_in=dict(func.irreps_in), irreps_out=dict(func.irreps_out)
         )
@@ -50,9 +62,14 @@ class ForceStressOutput(GraphModule):
         if not self.do_derivatives:
             return self.func(params, data)
 
-        if _keys.EDGE_VECTORS_KEY in data:
-            return self._edge_force_branch(params, data)
-        return self._pos_stress_branch(params, data)
+        branch = (
+            self._edge_force_branch
+            if _keys.EDGE_VECTORS_KEY in data
+            else self._pos_stress_branch
+        )
+        if self.remat:
+            return jax.checkpoint(branch)(params, data)
+        return branch(params, data)
 
     # ------------------------------------------------------------------
     def _pos_stress_branch(self, params: Params, data: dict) -> dict:

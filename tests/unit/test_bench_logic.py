@@ -56,6 +56,27 @@ def test_compile_helper_failure_walks_ladder(bench, monkeypatch):
     assert calls == [False, "save_tp", True]
 
 
+def test_train_ladder_walks_force_policies(bench, monkeypatch):
+    """Train OOM walks False -> "force" -> "force_full": per-layer remat
+    cannot bound train temp memory (the loss backward saves the force-VJP
+    residuals regardless — measured 14-15 GiB at 23k for every per-layer
+    policy), so the ladder escalates to checkpointing the whole E+F branch."""
+    calls = []
+
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32):
+        calls.append(remat)
+        if remat != "force_full":
+            return {"error": "RESOURCE_EXHAUSTED: fake"}
+        return {"atoms": n_atoms, "mode": mode, "tp_impl": tp_impl,
+                "dtype": dtype, "atom_steps_per_s": 1.0}
+
+    monkeypatch.setattr(bench, "_run_case_once", fake_once)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench.run_case(23000, "train", "pallas", remat=False)
+    assert "error" not in out
+    assert calls == [False, "force", "force_full"]
+
+
 def test_small_case_no_remat_ladder(bench, monkeypatch):
     calls = []
 

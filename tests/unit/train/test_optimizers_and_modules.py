@@ -151,3 +151,63 @@ def test_equivariance_harness(batch):
     frame = compute_neighborlist_(ds[0], 4.0)
     assert_O3_equivariant(module.model, params, frame, tol=1e-8)
     assert_permutation_equivariant(module.model, params, frame, tol=1e-9)
+
+
+def test_remat_force_grads_exact(batch):
+    """remat_force (jax.checkpoint around the whole E+F branch,
+    grad_output.py) must not change training gradients.  Needed because
+    per-layer remat cannot bound train-step temp memory: the force-loss
+    backward differentiates through the force VJP and saves its residuals
+    regardless of the per-layer policy (measured 14-15 GiB at 23k f32 for
+    every policy); checkpointing the branch itself is the policy that does
+    bound it, so its exactness is a correctness gate."""
+    from nequip_tpu.data import _keys
+    from nequip_tpu.model import NequIPGNNModel
+    from nequip_tpu.train import EnergyForceLoss
+
+    def build(remat_force, remat_conv=False):
+        return NequIPGNNModel(
+            seed=5,
+            model_dtype="float64",
+            type_names=["Cu"],
+            r_max=4.0,
+            num_layers=2,
+            l_max=1,
+            parity=False,
+            num_features=4,
+            radial_mlp_width=8,
+            avg_num_neighbors=18.0,
+            per_type_energy_shifts={"Cu": -0.4},
+            remat_conv=remat_conv,
+            remat_force=remat_force,
+        )
+
+    loss = EnergyForceLoss(type_names=["Cu"])
+    rng = np.random.RandomState(7)
+    data = dict(batch)
+    n_frames = data[_keys.NUM_NODES_KEY].shape[0]
+    data[_keys.TOTAL_ENERGY_KEY] = jnp.asarray(
+        rng.standard_normal((n_frames, 1))
+    )
+    data[_keys.FORCE_KEY] = jnp.asarray(
+        rng.standard_normal(data[_keys.POSITIONS_KEY].shape)
+    )
+
+    grads = {}
+    for name, (rf, rc) in {
+        "plain": (False, False),
+        "force": (True, "save_tp"),
+        "force_full": (True, True),
+    }.items():
+        model = build(rf, rc)
+        params = model.init_params()
+        g = jax.jit(
+            jax.grad(lambda p: loss(model(p, data), data, loss.coeff_vector())[0])
+        )(params)
+        grads[name] = np.concatenate(
+            [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(g)]
+        )
+    np.testing.assert_allclose(grads["force"], grads["plain"], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        grads["force_full"], grads["plain"], rtol=1e-12, atol=1e-14
+    )

@@ -9,7 +9,8 @@ train step can run next to a co-tenant.
 Run: python tools/train_memory.py   (compiles 3 variants; no steps executed)
 Env: NEQUIP_BENCH_ATOMS (default 23000), NEQUIP_TRAIN_MEM_IMPLS
      (comma list, default "pallas"), NEQUIP_TRAIN_MEM_REMATS
-     (comma list of 0|save_tp|1, default "0,save_tp,1").
+     (comma list of 0|save_tp|1|force|force_full, default
+     "0,save_tp,1,force,force_full").
 """
 
 import os
@@ -30,7 +31,9 @@ def main():
 
     n_atoms = int(os.environ.get("NEQUIP_BENCH_ATOMS", 23000))
     impls = os.environ.get("NEQUIP_TRAIN_MEM_IMPLS", "pallas").split(",")
-    remats = os.environ.get("NEQUIP_TRAIN_MEM_REMATS", "0,save_tp,1").split(",")
+    remats = os.environ.get(
+        "NEQUIP_TRAIN_MEM_REMATS", "0,save_tp,1,force,force_full"
+    ).split(",")
 
     for impl in impls:
         for rm in remats:
