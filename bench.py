@@ -60,6 +60,14 @@ def _canonical_fwd_flops(n_atoms: int, dtype: str) -> float:
 
     key = (n_atoms, dtype)
     if key not in _CANON_FWD:
+        if n_atoms > 50000:
+            # the XLA impl NEVER compiles above ~50k (HBM for [E, mid]) and
+            # the failing remote compile burns ~5 min of bench budget per
+            # dtype — scale linearly from 23k instead (edge count, hence
+            # FLOPs, is linear in atoms for bulk systems)
+            base = _canonical_fwd_flops(23000, dtype)
+            _CANON_FWD[key] = base * n_atoms / 23328.0
+            return _CANON_FWD[key]
         try:
             model, params, data = _example_model_and_batch(
                 model_dtype=dtype, n_atoms=n_atoms, l_max=2, tp_impl="xla"
@@ -67,8 +75,6 @@ def _canonical_fwd_flops(n_atoms: int, dtype: str) -> float:
             fwd = jax.jit(lambda p, d: model(p, d))
             _CANON_FWD[key] = _flops_of(fwd.lower(params, data).compile())
         except Exception:
-            # e.g. compile failure at huge sizes: scale linearly from 23k
-            # (edge count, hence FLOPs, is linear in atoms for bulk systems)
             base = _canonical_fwd_flops(23000, dtype)
             _CANON_FWD[key] = base * n_atoms / 23328.0
     return _CANON_FWD[key]
@@ -318,7 +324,9 @@ def _run_case_once(
         if tp_impl != "xla":
             # cost_analysis can't see Pallas custom-call FLOPs; use the
             # XLA-impl FLOP count of the same computation as canonical
-            flops = _canonical_fwd_flops(n_atoms, dtype)
+            # (keyed on the REAL atom count — the fcc frame rounds the
+            # requested size up, and throughput divides by n_real)
+            flops = _canonical_fwd_flops(n_real, dtype)
             if mode == "train":
                 flops *= _train_flop_ratio(dtype)
             flops_source = "xla_canonical"
