@@ -289,6 +289,7 @@ def _run_case_once(
                 model=model,
                 loss=EnergyForceLoss(type_names=["Cu"]),
                 optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
+                force_grad_mode=os.environ.get("NEQUIP_BENCH_FORCE_GRAD", "rr"),
             )
             state = module.init_state()
             coeffs = module.loss.coeff_vector()

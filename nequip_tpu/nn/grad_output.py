@@ -152,6 +152,104 @@ class ForceStressOutput(GraphModule):
         out[_keys.EDGE_FORCE_KEY] = dE_dvec
         return out
 
+    # ------------------------------------------------------------------
+    def loss_surrogate(self, params: Params, data: dict, cotangents: dict):
+        """Scalar ``S(params)`` with ``grad(S) == sum_k <cotangents[k], out_k>``.
+
+        The memory-lean route to force-loss training gradients
+        (reverse-over-FORWARD instead of reverse-over-reverse):
+
+            grad_p L(out(p)) = grad_p <stopgrad(dL/dout), out(p)>
+
+        and for the derivative outputs the inner product collapses to a
+        single jvp of the *energy* graph:
+
+            <v_F, F>      = -jvp_pos (sum E; v_F)
+            <v_V, virial> = -jvp_disp(sum E; v_V)
+            <v_S, stress> =  jvp_disp(sum E; v_S / vol)
+
+        so ``jax.grad(S)`` is an ordinary first-order reverse pass over a
+        jvp-augmented energy graph — no residuals of a force VJP are ever
+        saved (reverse-over-reverse needs 14-15 GiB of temp at 23k atoms
+        regardless of per-layer remat policy; this path is bounded by
+        ~2x the energy forward).  Exact: same gradients to float
+        associativity.
+
+        ``cotangents`` maps output field -> dL/d(field), stop-gradient'd by
+        the caller.  Derivative fields (force/stress/virial) become jvp
+        tangents; every other field must be an output of the energy graph.
+
+        NOTE: forward-mode cannot flow through the ``custom_vjp`` Pallas
+        kernels — call this on an XLA-impl model clone
+        (``training_module._fr_energy_model``).
+        """
+        assert _keys.EDGE_VECTORS_KEY not in data, (
+            "loss_surrogate supports the positions/strain branch only"
+        )
+        pos = data[_keys.POSITIONS_KEY]
+        has_cell = _keys.CELL_KEY in data
+        num_frames = data[_keys.NUM_NODES_KEY].shape[0]
+        batch = data.get(_keys.BATCH_KEY)
+        if batch is None:
+            batch = jnp.zeros(pos.shape[0], dtype=jnp.int32)
+        orig_cell = data.get(_keys.CELL_KEY)
+
+        def energy_fn(pos_in, displacement):
+            # identical parametrization to _pos_stress_branch
+            sym = 0.5 * (displacement + jnp.swapaxes(displacement, -1, -2))
+            sym_per_node = jnp.take(sym, batch, axis=0)
+            HI = jax.lax.Precision.HIGHEST
+            new_pos = pos_in + jnp.einsum(
+                "ni,nij->nj", pos_in, sym_per_node, precision=HI
+            )
+            inner = dict(data)
+            inner[_keys.POSITIONS_KEY] = new_pos
+            if has_cell:
+                cell = orig_cell.reshape(-1, 3, 3)
+                inner[_keys.CELL_KEY] = cell + jnp.einsum(
+                    "fij,fjk->fik", cell, sym, precision=HI
+                )
+            out = self.func(params, inner)
+            energy = out[_keys.TOTAL_ENERGY_KEY].reshape(-1)
+            if _keys.FRAME_MASK_KEY in data:
+                energy = jnp.where(data[_keys.FRAME_MASK_KEY], energy, 0.0)
+            return jnp.sum(energy), out
+
+        deriv_keys = (_keys.FORCE_KEY, _keys.STRESS_KEY, _keys.VIRIAL_KEY)
+        t_pos = jnp.zeros_like(pos)
+        t_disp = jnp.zeros((num_frames, 3, 3), dtype=pos.dtype)
+        if _keys.FORCE_KEY in cotangents:
+            # F = -dE/dpos
+            t_pos = t_pos - cotangents[_keys.FORCE_KEY].astype(pos.dtype)
+        if _keys.VIRIAL_KEY in cotangents:
+            # virial = -dE/ddisp
+            t_disp = t_disp - cotangents[_keys.VIRIAL_KEY].astype(pos.dtype)
+        if _keys.STRESS_KEY in cotangents:
+            # stress = (dE/ddisp) / vol
+            assert has_cell, "stress cotangent requires a cell"
+            vol = jnp.abs(jnp.linalg.det(orig_cell.reshape(-1, 3, 3)))
+            if _keys.FRAME_MASK_KEY in data:
+                vol = jnp.where(data[_keys.FRAME_MASK_KEY], vol, 1.0)
+            t_disp = t_disp + (
+                cotangents[_keys.STRESS_KEY] / vol[:, None, None]
+            ).astype(pos.dtype)
+
+        disp0 = jnp.zeros((num_frames, 3, 3), dtype=pos.dtype)
+        (_, out), (d_esum, _) = jax.jvp(
+            energy_fn, (pos, disp0), (t_pos, t_disp)
+        )
+        surrogate = d_esum
+        for k, v in cotangents.items():
+            if k in deriv_keys:
+                continue
+            assert k in out, (
+                f"loss field {k!r} is not an output of the energy graph; "
+                "fr-mode force_grad supports losses on energy-graph outputs "
+                "plus forces/stress/virial"
+            )
+            surrogate = surrogate + jnp.sum(v * out[k])
+        return surrogate
+
     def __repr__(self):
         return f"ForceStressOutput(do_derivatives={self.do_derivatives},\n  func={self.func!r})"
 

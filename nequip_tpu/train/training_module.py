@@ -82,8 +82,14 @@ class NequIPTrainModule:
         lr_scheduler: Optional[dict] = None,
         gradient_clip_val: Optional[float] = None,
         seed: Optional[int] = None,
+        force_grad_mode: str = "rr",
     ):
         self.model_config = model if isinstance(model, dict) else None
+        # "rr" (reverse-over-reverse, the reference semantics) or "fr"
+        # (reverse-over-forward surrogate; see make_train_step)
+        assert force_grad_mode in ("rr", "fr"), force_grad_mode
+        self.force_grad_mode = force_grad_mode
+        self._fr_model = None  # lazily-built XLA-impl clone for fr mode
 
         # === models (possibly several, as in the reference's ModuleDict) ===
         # contract mirrors lightning.py:78-107: a mapping of name -> model
@@ -277,6 +283,20 @@ class NequIPTrainModule:
         # trilinear 'pallas' family natively, and the radial-MLP-in-kernel
         # 'pallas_fused' variant via its backward kernel's composition VJP —
         # so all tp_impl choices train with derivative losses.
+        #
+        # force_grad_mode="fr" instead computes the SAME gradients as
+        # grad(<stopgrad(dL/dout), out(params)>), where the force term
+        # collapses to a jvp of the energy graph
+        # (ForceStressOutput.loss_surrogate) — reverse-over-forward.  This
+        # bounds train memory (reverse-over-reverse saves the force-VJP
+        # residuals: 14-15 GiB at 23k f32 no matter the remat policy) at the
+        # cost of one extra energy forward.  The surrogate pass runs on an
+        # XLA-impl clone of the model (forward-mode AD cannot flow through
+        # custom_vjp Pallas kernels); the first (loss/metrics) pass keeps the
+        # model's own kernels.
+
+        if self.force_grad_mode == "fr":
+            return self._make_train_step_fr(axis_name)
 
         def train_step(state: TrainState, batch: dict, loss_coeffs=None, lr_scale=None):
             def loss_fn(params):
@@ -297,38 +317,119 @@ class NequIPTrainModule:
             )(state.params)
             if axis_name is not None:
                 grads = jax.lax.psum(grads, axis_name)
-            # self.optimizer is finalized by init_state (frozen-param masking
-            # needs the params structure); tracing happens after that.
-            # extra-args transforms (e.g. optax.contrib.reduce_on_plateau)
-            # receive the loss value.
-            if isinstance(self.optimizer, optax.GradientTransformationExtraArgs):
-                updates, opt_state = self.optimizer.update(
-                    grads, state.opt_state, state.params, value=loss
-                )
-            else:
-                updates, opt_state = self.optimizer.update(
-                    grads, state.opt_state, state.params
-                )
-            if lr_scale is not None:
-                # epoch-scheduler scale (host-computed, traced scalar): for
-                # LR-proportional updates (sgd/adam/...) multiplying the final
-                # update equals scaling the learning rate
-                updates = jax.tree.map(lambda u: u * lr_scale, updates)
-            params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(
-                step=state.step + 1,
-                params=params,
-                opt_state=opt_state,
-                loss_state=(
-                    loss_mgr.accumulate(state.loss_state, bs)
-                    if state.loss_state is not None
-                    else None
-                ),
+            return self._apply_update(state, grads, loss, bs, values, lr_scale)
+
+        return train_step
+
+    def _apply_update(self, state, grads, loss, bs, values, lr_scale):
+        loss_mgr = self.loss
+        # self.optimizer is finalized by init_state (frozen-param masking
+        # needs the params structure); tracing happens after that.
+        # extra-args transforms (e.g. optax.contrib.reduce_on_plateau)
+        # receive the loss value.
+        if isinstance(self.optimizer, optax.GradientTransformationExtraArgs):
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params, value=loss
             )
-            new_state = self._post_optimizer_step(new_state)
-            logs = {f"train_loss_step/{k}": v for k, v in values.items()}
-            logs["train_loss_step/weighted_sum"] = loss
-            return new_state, logs
+        else:
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+        if lr_scale is not None:
+            # epoch-scheduler scale (host-computed, traced scalar): for
+            # LR-proportional updates (sgd/adam/...) multiplying the final
+            # update equals scaling the learning rate
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            loss_state=(
+                loss_mgr.accumulate(state.loss_state, bs)
+                if state.loss_state is not None
+                else None
+            ),
+        )
+        new_state = self._post_optimizer_step(new_state)
+        logs = {f"train_loss_step/{k}": v for k, v in values.items()}
+        logs["train_loss_step/weighted_sum"] = loss
+        return new_state, logs
+
+    # --- fr (reverse-over-forward) force-loss gradients ------------------
+    def _fr_energy_model(self) -> GraphModel:
+        """XLA-impl clone of the sole model, sharing its parameter pytree.
+
+        forward-mode AD cannot flow through the custom_vjp Pallas kernels,
+        so the surrogate jvp pass runs on a deep-copied module tree with
+        every TensorProductScatter switched to the XLA implementation (the
+        impl choice does not change parameters — model/modify_utils.py).
+        """
+        if self._fr_model is None:
+            import copy
+
+            from ..model.modify_utils import get_all_modifiers
+
+            clone = copy.deepcopy(self.model)
+            clone, _ = get_all_modifiers()["disable_TPUFusedTPScatter"](clone, None)
+            self._fr_model = clone
+        return self._fr_model
+
+    def _loss_output_fields(self, out: dict) -> List[str]:
+        """Float output fields the loss reads (via each entry's modifier)."""
+        fields = []
+        for e in self.loss.entries:
+            mod = e["mod"]
+            f = getattr(mod, "mapped_field", None) or getattr(mod, "field", None)
+            if (
+                f
+                and f in out
+                and jnp.issubdtype(jnp.asarray(out[f]).dtype, jnp.floating)
+                and f not in fields
+            ):
+                fields.append(f)
+        return fields
+
+    def _make_train_step_fr(self, axis_name: Optional[str]) -> Callable:
+        model, loss_mgr = self.model, self.loss
+        fr_model = self._fr_energy_model()
+        fso = fr_model.model
+        assert hasattr(fso, "loss_surrogate"), (
+            "force_grad_mode='fr' requires a ForceStressOutput-wrapped model"
+        )
+
+        def train_step(state: TrainState, batch: dict, loss_coeffs=None, lr_scale=None):
+            # pass 1 (first-order, the model's own kernels): outputs for the
+            # loss value, metrics, and the output-cotangents
+            out = model(state.params, batch)
+            bs = loss_mgr.batch_state(out, batch)
+            if axis_name is not None:
+                bs = loss_mgr.psum_batch(bs, axis_name)
+            loss, values = loss_mgr.values(bs, coeffs_vec=loss_coeffs)
+
+            # output cotangents v = dL/dout (a tiny elementwise graph)
+            fields = self._loss_output_fields(out)
+
+            def loss_of_fields(fd):
+                o = dict(out)
+                o.update(fd)
+                bs2 = loss_mgr.batch_state(o, batch)
+                if axis_name is not None:
+                    bs2 = loss_mgr.psum_batch(bs2, axis_name)
+                return loss_mgr.values(bs2, coeffs_vec=loss_coeffs)[0]
+
+            v = jax.grad(loss_of_fields)({f: out[f] for f in fields})
+            v = jax.lax.stop_gradient(v)
+
+            # pass 2: grad of the surrogate — an ordinary reverse pass over
+            # the jvp-augmented ENERGY graph (no force-VJP residuals saved)
+            inputs = {k: batch[k] for k in fr_model.input_fields if k in batch}
+            grads = jax.grad(
+                lambda p: fso.loss_surrogate(p, inputs, v)
+            )(state.params)
+            if axis_name is not None:
+                grads = jax.lax.psum(grads, axis_name)
+            return self._apply_update(state, grads, loss, bs, values, lr_scale)
 
         return train_step
 
@@ -355,6 +456,7 @@ class NequIPTrainModule:
             "lr_scheduler": self.lr_scheduler_config,
             "gradient_clip_val": self.gradient_clip_val,
             "seed": self.seed,
+            "force_grad_mode": self.force_grad_mode,
             "_target_": f"{type(self).__module__}.{type(self).__name__}",
         }
 

@@ -117,3 +117,51 @@ def test_train_step_accepts_pallas_fused(batch_and_refs):
     step = module.make_train_step()
     state, logs = step(state, data, module.loss.coeff_vector())
     assert np.isfinite(float(logs["train_loss_step/weighted_sum"]))
+
+
+def test_fr_force_grad_mode_exact():
+    """force_grad_mode='fr' (reverse-over-forward surrogate,
+    training_module._make_train_step_fr + ForceStressOutput.loss_surrogate)
+    must produce the same updates as the default reverse-over-reverse step,
+    for both an XLA and a pallas_fused first pass.  fr exists because rr
+    train temp scales ~5.3 GiB/layer at 23k atoms regardless of remat
+    policy (the loss backward saves the force-VJP residuals); the surrogate
+    collapses the force term to a jvp of the energy graph."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_model_and_batch
+    from nequip_tpu.data import _keys
+    from nequip_tpu.train import EMATrainModule, EnergyForceLoss
+
+    res = {}
+    for mode, impl in [("rr", "xla"), ("fr", "xla"), ("fr", "pallas_fused")]:
+        model, params, data = _example_model_and_batch(
+            model_dtype="float64", n_atoms=64, l_max=1, tp_impl=impl
+        )
+        rng = np.random.RandomState(2)
+        data = dict(data)
+        data[_keys.TOTAL_ENERGY_KEY] = jnp.asarray(rng.standard_normal((2, 1)))
+        data[_keys.FORCE_KEY] = jnp.asarray(
+            rng.standard_normal(data[_keys.POSITIONS_KEY].shape)
+        )
+        module = EMATrainModule(
+            model=model,
+            loss=EnergyForceLoss(type_names=["Cu"]),
+            optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
+            force_grad_mode=mode,
+        )
+        state = module.init_state()
+        step = jax.jit(module.make_train_step())
+        state2, logs = step(state, data, module.loss.coeff_vector())
+        res[(mode, impl)] = (
+            float(logs["train_loss_step/weighted_sum"]),
+            np.concatenate(
+                [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(state2.params)]
+            ),
+        )
+    ref = res[("rr", "xla")]
+    for k, v in res.items():
+        assert abs(v[0] - ref[0]) < 1e-12, (k, v[0], ref[0])
+        np.testing.assert_allclose(v[1], ref[1], rtol=1e-10, atol=1e-13, err_msg=str(k))

@@ -56,6 +56,9 @@ def main():
                     model=model,
                     loss=EnergyForceLoss(type_names=["Cu"]),
                     optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
+                    force_grad_mode=os.environ.get(
+                        "NEQUIP_TRAIN_MEM_FGM", "rr"
+                    ),
                 )
                 state = module.init_state()
                 step = jax.jit(module.make_train_step(), donate_argnums=(0,))
