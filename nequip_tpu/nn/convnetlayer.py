@@ -133,6 +133,44 @@ class ConvNetLayer(GraphModule):
             return jax.checkpoint(self._apply)(params, data)
         return self._apply(params, data)
 
+    def _jvp_apply(self, params: Params, data: dict, tangents: dict):
+        import jax
+
+        old_x = data[_keys.NODE_FEATURES_KEY]
+        t_old = tangents.get(_keys.NODE_FEATURES_KEY)
+        data, tangents = self.conv.jvp(params["conv"], data, tangents)
+        x = data[_keys.NODE_FEATURES_KEY]
+        tx = tangents.get(_keys.NODE_FEATURES_KEY)
+        if tx is None:
+            x = self.equivariant_nonlin(x)
+        else:
+            x, tx = jax.jvp(self.equivariant_nonlin, (x,), (tx,))
+        if self.resnet:
+            x = old_x + x
+            if t_old is not None:
+                tx = t_old if tx is None else tx + t_old
+        data = dict(data)
+        data[_keys.NODE_FEATURES_KEY] = x
+        tangents = dict(tangents)
+        if tx is not None:
+            tangents[_keys.NODE_FEATURES_KEY] = tx
+        else:
+            tangents.pop(_keys.NODE_FEATURES_KEY, None)
+        return data, tangents
+
+    def jvp(self, params: Params, data: dict, tangents: dict):
+        """Dual-number sweep of the layer (see GraphModule.jvp).
+
+        The sweep is FIRST-order, so per-layer jax.checkpoint here behaves
+        exactly like ordinary activation remat — unlike reverse-over-reverse
+        training, where per-layer policies cannot bound memory.
+        """
+        if self.remat:
+            import jax
+
+            return jax.checkpoint(self._jvp_apply)(params, data, tangents)
+        return self._jvp_apply(params, data, tangents)
+
     def __repr__(self):
         return (
             f"ConvNetLayer(hidden={self.feature_irreps_hidden}, "

@@ -179,9 +179,12 @@ class ForceStressOutput(GraphModule):
         the caller.  Derivative fields (force/stress/virial) become jvp
         tangents; every other field must be an output of the energy graph.
 
-        NOTE: forward-mode cannot flow through the ``custom_vjp`` Pallas
-        kernels — call this on an XLA-impl model clone
-        (``training_module._fr_energy_model``).
+        The tangent propagation is the module-level dual sweep
+        (``GraphModule.jvp``): pure-XLA modules route through ``jax.jvp``,
+        and ``InteractionBlock.jvp`` expands the trilinear TP-scatter into
+        three calls of the SAME custom-vjp kernels — so this works with
+        every ``tp_impl``, and ``jax.grad`` of the returned scalar is an
+        ordinary first-order reverse pass (per-layer remat applies).
         """
         assert _keys.EDGE_VECTORS_KEY not in data, (
             "loss_surrogate supports the positions/strain branch only"
@@ -194,51 +197,49 @@ class ForceStressOutput(GraphModule):
             batch = jnp.zeros(pos.shape[0], dtype=jnp.int32)
         orig_cell = data.get(_keys.CELL_KEY)
 
-        def energy_fn(pos_in, displacement):
-            # identical parametrization to _pos_stress_branch
-            sym = 0.5 * (displacement + jnp.swapaxes(displacement, -1, -2))
-            sym_per_node = jnp.take(sym, batch, axis=0)
-            HI = jax.lax.Precision.HIGHEST
-            new_pos = pos_in + jnp.einsum(
-                "ni,nij->nj", pos_in, sym_per_node, precision=HI
-            )
-            inner = dict(data)
-            inner[_keys.POSITIONS_KEY] = new_pos
-            if has_cell:
-                cell = orig_cell.reshape(-1, 3, 3)
-                inner[_keys.CELL_KEY] = cell + jnp.einsum(
-                    "fij,fjk->fik", cell, sym, precision=HI
-                )
-            out = self.func(params, inner)
-            energy = out[_keys.TOTAL_ENERGY_KEY].reshape(-1)
-            if _keys.FRAME_MASK_KEY in data:
-                energy = jnp.where(data[_keys.FRAME_MASK_KEY], energy, 0.0)
-            return jnp.sum(energy), out
-
         deriv_keys = (_keys.FORCE_KEY, _keys.STRESS_KEY, _keys.VIRIAL_KEY)
         t_pos = jnp.zeros_like(pos)
-        t_disp = jnp.zeros((num_frames, 3, 3), dtype=pos.dtype)
+        t_disp = None
         if _keys.FORCE_KEY in cotangents:
             # F = -dE/dpos
             t_pos = t_pos - cotangents[_keys.FORCE_KEY].astype(pos.dtype)
         if _keys.VIRIAL_KEY in cotangents:
             # virial = -dE/ddisp
-            t_disp = t_disp - cotangents[_keys.VIRIAL_KEY].astype(pos.dtype)
+            t_disp = -cotangents[_keys.VIRIAL_KEY].astype(pos.dtype)
         if _keys.STRESS_KEY in cotangents:
             # stress = (dE/ddisp) / vol
             assert has_cell, "stress cotangent requires a cell"
             vol = jnp.abs(jnp.linalg.det(orig_cell.reshape(-1, 3, 3)))
             if _keys.FRAME_MASK_KEY in data:
                 vol = jnp.where(data[_keys.FRAME_MASK_KEY], vol, 1.0)
-            t_disp = t_disp + (
-                cotangents[_keys.STRESS_KEY] / vol[:, None, None]
-            ).astype(pos.dtype)
+            ts = (cotangents[_keys.STRESS_KEY] / vol[:, None, None]).astype(
+                pos.dtype
+            )
+            t_disp = ts if t_disp is None else t_disp + ts
 
-        disp0 = jnp.zeros((num_frames, 3, 3), dtype=pos.dtype)
-        (_, out), (d_esum, _) = jax.jvp(
-            energy_fn, (pos, disp0), (t_pos, t_disp)
-        )
-        surrogate = d_esum
+        # the strain parametrization of _pos_stress_branch, linearized at
+        # displacement = 0: d new_pos = t_pos + pos . sym(t_disp),
+        # d cell = cell . sym(t_disp) — the primal data is unchanged
+        tangents = {}
+        if t_disp is not None:
+            HI = jax.lax.Precision.HIGHEST
+            sym_t = 0.5 * (t_disp + jnp.swapaxes(t_disp, -1, -2))
+            sym_pn = jnp.take(sym_t, batch, axis=0)
+            t_pos = t_pos + jnp.einsum(
+                "ni,nij->nj", pos, sym_pn, precision=HI
+            )
+            if has_cell:
+                cell = orig_cell.reshape(-1, 3, 3)
+                tangents[_keys.CELL_KEY] = jnp.einsum(
+                    "fij,fjk->fik", cell, sym_t, precision=HI
+                ).reshape(orig_cell.shape)
+        tangents[_keys.POSITIONS_KEY] = t_pos
+
+        out, tout = self.func.jvp(params, data, tangents)
+        d_e = tout[_keys.TOTAL_ENERGY_KEY].reshape(-1)
+        if _keys.FRAME_MASK_KEY in data:
+            d_e = jnp.where(data[_keys.FRAME_MASK_KEY], d_e, 0.0)
+        surrogate = jnp.sum(d_e)
         for k, v in cotangents.items():
             if k in deriv_keys:
                 continue

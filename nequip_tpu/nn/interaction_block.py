@@ -229,6 +229,157 @@ class InteractionBlock(GraphModule):
         data[_keys.NODE_FEATURES_KEY] = x
         return data
 
+    # ------------------------------------------------------------------
+    def jvp(self, params: Params, data: dict, tangents: dict):
+        """Hand-written forward-mode rule (see GraphModule.jvp).
+
+        The TP-scatter is trilinear in (node features, edge attrs, radial
+        weights), so its position-tangent is three calls to the SAME
+        kernels that compute the primal:
+
+            d msg = K(dx, sh, w) + K(x, dsh, w) + K(x, sh, dw),
+            dw    = d MLP(emb) . demb  (plain XLA)
+
+        Each call is closed under reverse-mode AD via its custom VJP, so
+        ``jax.grad`` of anything built on this sweep works — forward-mode
+        AD machinery never enters a kernel.  Everything else in the block
+        (linears, sc, norm, gate) is linear or pure XLA.
+        """
+        import jax.numpy as jnp
+
+        x = data[_keys.NODE_FEATURES_KEY]
+        tx = tangents.get(_keys.NODE_FEATURES_KEY)
+        num_nodes = x.shape[0]
+        n_attrs = data[_keys.NODE_ATTRS_KEY]
+        # type-embedding attrs are position-independent, but upstream
+        # default-jvp modules materialize dense-zero tangents for them —
+        # support the (bilinear) term rather than assuming absence
+        t_attrs = tangents.get(_keys.NODE_ATTRS_KEY)
+
+        if self.sc is not None:
+            w_sc = params["sc"].astype(x.dtype)
+            sc = self.sc(x, n_attrs, w_sc)
+            t_sc = self.sc(tx, n_attrs, w_sc) if tx is not None else None
+            if t_attrs is not None:
+                term = self.sc(x, t_attrs, w_sc)
+                t_sc = term if t_sc is None else t_sc + term
+
+        x = self.linear_1(params["linear_1"], x)
+        if tx is not None:
+            tx = self.linear_1(params["linear_1"], tx)
+
+        # avg-num-neighbor norm (+ per-layer ghost exchange): linear in the
+        # feature field — apply the same maps to the tangent line
+        def _feature_maps(feat):
+            d = dict(data)
+            d[_keys.NODE_FEATURES_KEY] = feat
+            d = self.avg_num_neighbors_norm({}, d)
+            if not self.is_first_layer:
+                d = self.ghost_exchange({}, d)
+            return d[_keys.NODE_FEATURES_KEY]
+
+        x = _feature_maps(x)
+        if tx is not None:
+            tx = _feature_maps(tx)
+
+        sh = data[_keys.EDGE_ATTRS_KEY]
+        tsh = tangents.get(_keys.EDGE_ATTRS_KEY)
+        emb = data[_keys.EDGE_EMBEDDING_KEY]
+        temb = tangents.get(_keys.EDGE_EMBEDDING_KEY)
+        edge_dst = data[_keys.EDGE_INDEX_KEY][0]
+        edge_src = data[_keys.EDGE_INDEX_KEY][1]
+        edge_mask = data.get(_keys.EDGE_MASK_KEY)
+
+        use_fully_fused = (
+            self.tp_scatter.impl == "pallas_fused"
+            and self.edge_mlp.num_layers == 2
+            and not self.edge_mlp.bias
+            and self.edge_mlp.nonlinearity == "silu"
+            and self.edge_mlp.parametrization is None
+        )
+        layout = None
+        layouts = None
+        if self.tp_scatter.impl in ("pallas", "pallas_fused"):
+            from ..ops.pallas.tp_scatter import bwd_block_e, layout_key
+
+            layout = data.get(layout_key())
+            layouts = (layout, data.get(layout_key(block_e=bwd_block_e())))
+
+        if use_fully_fused:
+            from ..ops.pallas.tp_scatter import fused_tp_scatter_mlp
+
+            mlp_p = {k: v.astype(x.dtype) for k, v in params["edge_mlp"].items()}
+
+            def K(xx, ss):
+                return fused_tp_scatter_mlp(
+                    self.tp_scatter.tp, self.edge_mlp, xx, ss, emb, mlp_p,
+                    edge_dst, edge_src, edge_mask, num_nodes, layouts=layouts,
+                )
+
+            msg = K(x, sh)
+            terms = []
+            if tx is not None:
+                terms.append(K(tx, sh))
+            if tsh is not None:
+                terms.append(K(x, tsh))
+            if temb is not None:
+                _, dw = jax.jvp(
+                    lambda e: self.edge_mlp(params["edge_mlp"], e), (emb,), (temb,)
+                )
+                terms.append(
+                    self.tp_scatter.forward_tp_scatter(
+                        x=x, edge_attr=sh, edge_weight=dw.astype(x.dtype),
+                        edge_dst=edge_dst, edge_src=edge_src,
+                        edge_mask=edge_mask, num_nodes=num_nodes, layout=layout,
+                    )
+                )
+        else:
+            edge_weight = self.edge_mlp(params["edge_mlp"], emb)
+
+            def K(xx, ss, ww):
+                return self.tp_scatter.forward_tp_scatter(
+                    x=xx, edge_attr=ss, edge_weight=ww,
+                    edge_dst=edge_dst, edge_src=edge_src,
+                    edge_mask=edge_mask, num_nodes=num_nodes, layout=layout,
+                )
+
+            msg = K(x, sh, edge_weight)
+            terms = []
+            if tx is not None:
+                terms.append(K(tx, sh, edge_weight))
+            if tsh is not None:
+                terms.append(K(x, tsh, edge_weight))
+            if temb is not None:
+                _, dw = jax.jvp(
+                    lambda e: self.edge_mlp(params["edge_mlp"], e), (emb,), (temb,)
+                )
+                terms.append(K(x, sh, dw))
+        tmsg = None
+        if terms:
+            tmsg = terms[0]
+            for t in terms[1:]:
+                tmsg = tmsg + t
+
+        x_out = self.linear_2(params["linear_2"], self._merge_mid(msg))
+        tx_out = (
+            self.linear_2(params["linear_2"], self._merge_mid(tmsg))
+            if tmsg is not None
+            else None
+        )
+        if self.sc is not None:
+            x_out = x_out + sc
+            if t_sc is not None:
+                tx_out = t_sc if tx_out is None else tx_out + t_sc
+
+        out = dict(data)
+        out[_keys.NODE_FEATURES_KEY] = x_out
+        t_out = dict(tangents)
+        if tx_out is not None:
+            t_out[_keys.NODE_FEATURES_KEY] = tx_out
+        else:
+            t_out.pop(_keys.NODE_FEATURES_KEY, None)
+        return out, t_out
+
     def __repr__(self):
         return (
             f"InteractionBlock({self.irreps_in[_keys.NODE_FEATURES_KEY]} -> "

@@ -95,6 +95,42 @@ class GraphModule:
     def __call__(self, params: Params, data: dict) -> dict:
         raise NotImplementedError
 
+    # --- forward-mode (tangent) sweep ---------------------------------
+    def jvp(self, params: Params, data: dict, tangents: dict):
+        """``(out, tangent_out)``: one dual-number (jvp) step of this module.
+
+        ``tangents`` maps a subset of ``data`` keys to tangent arrays
+        (missing keys = zero tangent).  The default implementation routes
+        through :func:`jax.jvp` and is correct for any module built from
+        jvp-capable ops (all pure-XLA modules).  Modules that call
+        ``custom_vjp`` Pallas kernels override this with a hand-written
+        linearity rule (see ``InteractionBlock.jvp``) — that is what makes
+        the *whole model* forward-differentiable without forward-mode AD
+        ever entering a kernel, which in turn enables reverse-over-forward
+        force-loss training (``ForceStressOutput.loss_surrogate``) at any
+        system size.
+        """
+        keys = [k for k in data if k in tangents]
+        if not keys:
+            return self(params, data), {}
+
+        def f(*vals):
+            d = dict(data)
+            d.update(zip(keys, vals))
+            return self(params, d)
+
+        out, tout = jax.jvp(
+            f,
+            tuple(data[k] for k in keys),
+            tuple(tangents[k] for k in keys),
+        )
+        t = {
+            k: v
+            for k, v in tout.items()
+            if hasattr(v, "dtype") and v.dtype != jax.dtypes.float0
+        }
+        return out, t
+
     # --- metadata (parity: _get_metadata_contributions) ---------------
     def metadata(self) -> Dict[str, str]:
         return {}
@@ -167,6 +203,12 @@ class SequentialGraphNetwork(GraphModule):
         for name, module in self.module_dict.items():
             data = module(params.get(name, {}), data)
         return data
+
+    def jvp(self, params: Params, data: dict, tangents: dict):
+        t = dict(tangents)
+        for name, module in self.module_dict.items():
+            data, t = module.jvp(params.get(name, {}), data, t)
+        return data, t
 
     def metadata(self) -> Dict[str, str]:
         out: Dict[str, str] = {}

@@ -89,7 +89,6 @@ class NequIPTrainModule:
         # (reverse-over-forward surrogate; see make_train_step)
         assert force_grad_mode in ("rr", "fr"), force_grad_mode
         self.force_grad_mode = force_grad_mode
-        self._fr_model = None  # lazily-built XLA-impl clone for fr mode
 
         # === models (possibly several, as in the reference's ModuleDict) ===
         # contract mirrors lightning.py:78-107: a mapping of name -> model
@@ -290,10 +289,11 @@ class NequIPTrainModule:
         # (ForceStressOutput.loss_surrogate) — reverse-over-forward.  This
         # bounds train memory (reverse-over-reverse saves the force-VJP
         # residuals: 14-15 GiB at 23k f32 no matter the remat policy) at the
-        # cost of one extra energy forward.  The surrogate pass runs on an
-        # XLA-impl clone of the model (forward-mode AD cannot flow through
-        # custom_vjp Pallas kernels); the first (loss/metrics) pass keeps the
-        # model's own kernels.
+        # cost of one extra energy forward.  Tangents propagate through the
+        # module-level dual sweep (GraphModule.jvp): forward-mode AD never
+        # enters a kernel — InteractionBlock.jvp expands the trilinear TP
+        # into three calls of the same custom-vjp kernels — so fr works with
+        # every tp_impl and per-layer remat bounds the surrogate pass.
 
         if self.force_grad_mode == "fr":
             return self._make_train_step_fr(axis_name)
@@ -357,24 +357,6 @@ class NequIPTrainModule:
         return new_state, logs
 
     # --- fr (reverse-over-forward) force-loss gradients ------------------
-    def _fr_energy_model(self) -> GraphModel:
-        """XLA-impl clone of the sole model, sharing its parameter pytree.
-
-        forward-mode AD cannot flow through the custom_vjp Pallas kernels,
-        so the surrogate jvp pass runs on a deep-copied module tree with
-        every TensorProductScatter switched to the XLA implementation (the
-        impl choice does not change parameters — model/modify_utils.py).
-        """
-        if self._fr_model is None:
-            import copy
-
-            from ..model.modify_utils import get_all_modifiers
-
-            clone = copy.deepcopy(self.model)
-            clone, _ = get_all_modifiers()["disable_TPUFusedTPScatter"](clone, None)
-            self._fr_model = clone
-        return self._fr_model
-
     def _loss_output_fields(self, out: dict) -> List[str]:
         """Float output fields the loss reads (via each entry's modifier)."""
         fields = []
@@ -392,8 +374,7 @@ class NequIPTrainModule:
 
     def _make_train_step_fr(self, axis_name: Optional[str]) -> Callable:
         model, loss_mgr = self.model, self.loss
-        fr_model = self._fr_energy_model()
-        fso = fr_model.model
+        fso = model.model
         assert hasattr(fso, "loss_surrogate"), (
             "force_grad_mode='fr' requires a ForceStressOutput-wrapped model"
         )
@@ -423,7 +404,10 @@ class NequIPTrainModule:
 
             # pass 2: grad of the surrogate — an ordinary reverse pass over
             # the jvp-augmented ENERGY graph (no force-VJP residuals saved)
-            inputs = {k: batch[k] for k in fr_model.input_fields if k in batch}
+            inputs = {k: batch[k] for k in model.input_fields if k in batch}
+            inputs.update(
+                {k: v for k, v in batch.items() if k.startswith("__edge_layout_")}
+            )
             grads = jax.grad(
                 lambda p: fso.loss_surrogate(p, inputs, v)
             )(state.params)

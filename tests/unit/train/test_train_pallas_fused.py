@@ -165,3 +165,86 @@ def test_fr_force_grad_mode_exact():
     for k, v in res.items():
         assert abs(v[0] - ref[0]) < 1e-12, (k, v[0], ref[0])
         np.testing.assert_allclose(v[1], ref[1], rtol=1e-10, atol=1e-13, err_msg=str(k))
+
+
+def test_module_jvp_sweep_matches_jax_jvp():
+    """GraphModule.jvp dual sweep == jax.jvp on the pure-XLA impl (l_max=2,
+    positions + cell tangents).  Pins the hand-written InteractionBlock
+    trilinearity rule against autodiff."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_model_and_batch
+    from nequip_tpu.data import _keys
+
+    model, params, data = _example_model_and_batch(
+        model_dtype="float64", n_atoms=64, l_max=2, tp_impl="xla"
+    )
+    func = model.model.func
+    inputs = {k: data[k] for k in model.input_fields if k in data}
+    rng = np.random.RandomState(3)
+    t_pos = jnp.asarray(rng.standard_normal(inputs[_keys.POSITIONS_KEY].shape))
+    t_cell = jnp.asarray(
+        rng.standard_normal(np.asarray(inputs[_keys.CELL_KEY]).shape)
+    )
+    _, tout_s = func.jvp(
+        params, inputs, {_keys.POSITIONS_KEY: t_pos, _keys.CELL_KEY: t_cell}
+    )
+
+    def f(p, c):
+        d = dict(inputs)
+        d[_keys.POSITIONS_KEY] = p
+        d[_keys.CELL_KEY] = c
+        return func(params, d)
+
+    _, tout_j = jax.jvp(
+        f, (inputs[_keys.POSITIONS_KEY], inputs[_keys.CELL_KEY]), (t_pos, t_cell)
+    )
+    for k in (_keys.TOTAL_ENERGY_KEY, _keys.PER_ATOM_ENERGY_KEY):
+        np.testing.assert_allclose(
+            np.asarray(tout_s[k]), np.asarray(tout_j[k]), rtol=1e-11, atol=1e-12
+        )
+
+
+def test_fr_stress_loss_exact():
+    """fr == rr under an energy+force+STRESS loss (exercises the strain
+    tangent construction in loss_surrogate), pallas_fused kernels."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_model_and_batch
+    from nequip_tpu.data import _keys
+    from nequip_tpu.train import EMATrainModule
+    from nequip_tpu.train.metrics_manager import EnergyForceStressLoss
+
+    res = {}
+    for mode in ("rr", "fr"):
+        model, params, data = _example_model_and_batch(
+            model_dtype="float64", n_atoms=64, l_max=2, tp_impl="pallas_fused"
+        )
+        rng = np.random.RandomState(2)
+        data = dict(data)
+        data[_keys.TOTAL_ENERGY_KEY] = jnp.asarray(rng.standard_normal((2, 1)))
+        data[_keys.FORCE_KEY] = jnp.asarray(
+            rng.standard_normal(data[_keys.POSITIONS_KEY].shape)
+        )
+        data[_keys.STRESS_KEY] = jnp.asarray(rng.standard_normal((2, 3, 3)))
+        module = EMATrainModule(
+            model=model,
+            loss=EnergyForceStressLoss(type_names=["Cu"]),
+            optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
+            force_grad_mode=mode,
+        )
+        state = module.init_state()
+        step = jax.jit(module.make_train_step())
+        s2, logs = step(state, data, module.loss.coeff_vector())
+        res[mode] = (
+            float(logs["train_loss_step/weighted_sum"]),
+            np.concatenate(
+                [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(s2.params)]
+            ),
+        )
+    assert abs(res["fr"][0] - res["rr"][0]) < 1e-12
+    np.testing.assert_allclose(res["fr"][1], res["rr"][1], rtol=1e-9, atol=1e-12)
