@@ -360,10 +360,10 @@ def compute_edge_layout(
     if with_dx:
         E = edge_dst.shape[0]
         safe_idx = jnp.minimum(take_idx, E - 1)
-        src_lay = jnp.take(edge_src, safe_idx)
+        src_lay = _take_ib(edge_src, safe_idx)
         wm = valid
         if edge_mask is not None:
-            wm = wm & jnp.take(edge_mask, safe_idx)
+            wm = wm & _take_ib(edge_mask, safe_idx)
         lay["dx"] = compute_edge_layout(
             src_lay, src_lay, wm, num_nodes, rows, block_e
         )
@@ -436,7 +436,7 @@ def _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):
         lambda: iota,
         lambda: jnp.argsort(edge_dst, stable=True).astype(jnp.int32),
     )
-    dst_sorted = jnp.take(edge_dst, order)
+    dst_sorted = _take_ib(edge_dst, order)
     tile_sorted = dst_sorted // rows
 
     counts = jax.ops.segment_sum(jnp.ones_like(dst_sorted), tile_sorted, num_segments=T)
@@ -449,14 +449,14 @@ def _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):
     G = E_pal // block_e
 
     idx = jnp.arange(E, dtype=jnp.int32)
-    pos_in_tile = idx - jnp.take(tile_edge_off, tile_sorted).astype(jnp.int32)
-    new_index = (jnp.take(aligned_off, tile_sorted) + pos_in_tile).astype(jnp.int32)
+    pos_in_tile = idx - _take_ib(tile_edge_off, tile_sorted).astype(jnp.int32)
+    new_index = (_take_ib(aligned_off, tile_sorted) + pos_in_tile).astype(jnp.int32)
 
     take_idx = jnp.full((E_pal,), E, dtype=jnp.int32)
     take_idx = take_idx.at[new_index].set(order.astype(jnp.int32))
 
     valid = take_idx < E
-    dst_lay = jnp.where(valid, jnp.take(edge_dst, jnp.minimum(take_idx, E - 1)), -1)
+    dst_lay = jnp.where(valid, _take_ib(edge_dst, jnp.minimum(take_idx, E - 1)), -1)
 
     slot_tile = jnp.arange(E_pal, dtype=jnp.int32) // block_e
     aligned_cum = jnp.cumsum(aligned)
@@ -466,7 +466,7 @@ def _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):
     chunk_tile = jnp.minimum(chunk_tile, T - 1)
     chunk_start = jnp.arange(G, dtype=jnp.int32) * block_e
     chunk_first = (
-        chunk_start == jnp.take(aligned_off, chunk_tile).astype(jnp.int32)
+        chunk_start == _take_ib(aligned_off, chunk_tile).astype(jnp.int32)
     ).astype(jnp.int32)
 
     rel_dst = jnp.where(valid, dst_lay - chunk_tile.repeat(block_e) * rows, -1)
@@ -534,13 +534,13 @@ def _forward(
     G = E_pal // block_e
 
     safe_idx = jnp.minimum(take_idx, E - 1)
-    src_lay = jnp.take(edge_src, safe_idx)
-    x_lay = jnp.take(x, src_lay, axis=0)
-    y_lay = jnp.take(edge_attr, safe_idx, axis=0)
-    w_lay = jnp.take(edge_weight, safe_idx, axis=0)
+    src_lay = _take_ib(edge_src, safe_idx)
+    x_lay = _take_ib(x, src_lay, axis=0)
+    y_lay = _take_ib(edge_attr, safe_idx, axis=0)
+    w_lay = _take_ib(edge_weight, safe_idx, axis=0)
     wmask = valid
     if edge_mask is not None:
-        wmask = wmask & jnp.take(edge_mask, safe_idx)
+        wmask = wmask & _take_ib(edge_mask, safe_idx)
     # zero radial weights kill every path's message for masked/padding slots
     w_lay = jnp.where(wmask[:, None], w_lay, 0)
     rel_2d = rel_dst.reshape(E_pal, 1)
@@ -641,13 +641,19 @@ def pallas_scatter_sum(
     E_pal = take_idx.shape[0]
     G = E_pal // block_e
     safe = jnp.minimum(take_idx, M - 1)
-    wm = valid if mask is None else valid & jnp.take(mask, safe)
-    rel_2d = rel_dst.reshape(E_pal, 1)
+    wm = valid if mask is None else valid & _take_ib(mask, safe)
+    # fold the slot mask into rel_dst instead of zeroing the [M_pal, D]
+    # values: a slot with rel = -1 matches no one-hot row in the scatter
+    # kernel, so it contributes exactly zero — and the elementwise
+    # select/broadcast pair XLA would otherwise MATERIALIZE around the
+    # custom call (it cannot fuse into Pallas operands; ~1.1 GiB/layer of
+    # HBM traffic at 23k, hlo_bytes census r3) disappears.  Gathered
+    # values at masked slots are clamped copies of real rows, hence finite.
+    rel_2d = jnp.where(wm, rel_dst, -1).reshape(E_pal, 1)
 
     def one_pass(v_cols):
         d = v_cols.shape[1]
-        v_lay = jnp.take(v_cols, safe, axis=0)
-        v_lay = jnp.where(wm[:, None], v_lay, 0)
+        v_lay = _take_ib(v_cols, safe, axis=0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(G,),
@@ -760,13 +766,13 @@ def _backward_kernel_call(
     G = E_pal // block_e
 
     safe_idx = jnp.minimum(take_idx, E - 1)
-    src_lay = jnp.take(edge_src, safe_idx)
-    x_lay = jnp.take(x, src_lay, axis=0)
-    y_lay = jnp.take(edge_attr, safe_idx, axis=0)
-    w_lay = jnp.take(edge_weight, safe_idx, axis=0)
+    src_lay = _take_ib(edge_src, safe_idx)
+    x_lay = _take_ib(x, src_lay, axis=0)
+    y_lay = _take_ib(edge_attr, safe_idx, axis=0)
+    w_lay = _take_ib(edge_weight, safe_idx, axis=0)
     wmask = valid
     if edge_mask is not None:
-        wmask = wmask & jnp.take(edge_mask, safe_idx)
+        wmask = wmask & _take_ib(edge_mask, safe_idx)
     w_lay = jnp.where(wmask[:, None], w_lay, 0)
     rel_2d = rel_dst.reshape(E_pal, 1)
 
@@ -824,7 +830,7 @@ def _backward_kernel_call(
 def _reference(tp, x, edge_attr, edge_weight, edge_dst, edge_src, edge_mask, num_nodes):
     from ..scatter import scatter_sum
 
-    x_src = jnp.take(x, edge_src, axis=0)
+    x_src = _take_ib(x, edge_src, axis=0)
     messages = tp(x_src, edge_attr, edge_weight)
     return scatter_sum(messages, edge_dst, num_segments=num_nodes, mask=edge_mask)
 
@@ -1080,6 +1086,18 @@ def _bwd_mlp_kernel_T(plan, rows, block_e, alpha0, alpha1,
     ).astype(dw1_ref.dtype)
 
 
+def _take_ib(a, idx, axis=None):
+    """``jnp.take`` with mode="clip".
+
+    Every index in this module is pre-clamped (``min(take_idx, E-1)``) or a
+    real node/edge id, so the default mode="fill" is pure waste: XLA
+    materializes a select + NaN-broadcast pair around every gather, and it
+    CANNOT fuse them into the Pallas custom-call operands — measured ~GiB/
+    step of avoidable HBM traffic at 23k atoms (tools/hlo_bytes.py, r3).
+    """
+    return jnp.take(a, idx, axis=axis, mode="clip")
+
+
 def _layout_and_gather(tp_plan, x, edge_attr, edge_dst, edge_src, edge_mask,
                        num_nodes, rows, block_e, layout=None):
     take_idx, rel_dst, chunk_tile, chunk_first, valid = _resolve_layout(
@@ -1088,12 +1106,12 @@ def _layout_and_gather(tp_plan, x, edge_attr, edge_dst, edge_src, edge_mask,
     E = edge_dst.shape[0]
     E_pal = take_idx.shape[0]
     safe_idx = jnp.minimum(take_idx, E - 1)
-    src_lay = jnp.take(edge_src, safe_idx)
-    x_lay = jnp.take(x, src_lay, axis=0)
-    y_lay = jnp.take(edge_attr, safe_idx, axis=0)
+    src_lay = _take_ib(edge_src, safe_idx)
+    x_lay = _take_ib(x, src_lay, axis=0)
+    y_lay = _take_ib(edge_attr, safe_idx, axis=0)
     wmask = valid
     if edge_mask is not None:
-        wmask = wmask & jnp.take(edge_mask, safe_idx)
+        wmask = wmask & _take_ib(edge_mask, safe_idx)
     return take_idx, safe_idx, src_lay, x_lay, y_lay, wmask, rel_dst, chunk_tile, chunk_first
 
 
@@ -1176,7 +1194,7 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
             layout=lay_f)
         E_pal = take_idx.shape[0]
         G = E_pal // block_e
-        emb_lay = jnp.take(edge_embed, safe_idx, axis=0)
+        emb_lay = _take_ib(edge_embed, safe_idx, axis=0)
         # zero embeddings of masked/padding slots: bias-free silu MLP then
         # produces exactly-zero weights, killing every path's message
         emb_lay = jnp.where(wmask[:, None], emb_lay, 0)
@@ -1246,7 +1264,7 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
             layout=lay_b)
         E_pal = take_idx.shape[0]
         G = E_pal // be
-        emb_lay = jnp.take(edge_embed, safe_idx, axis=0)
+        emb_lay = _take_ib(edge_embed, safe_idx, axis=0)
         emb_lay = jnp.where(wmask[:, None], emb_lay, 0)
         rel_2d = rel_dst.reshape(E_pal, 1)
         mask_f = wmask.astype(x.dtype).reshape(E_pal, 1)
