@@ -122,7 +122,8 @@ def _train_flop_ratio(dtype: str) -> float:
     return _TRAIN_RATIO[dtype]
 
 
-def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf32=False):
+def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf32=False,
+             fgm=None):
     """One measurement with retries: the tunneled chip is multi-tenant and
     surfaces transient RESOURCE_EXHAUSTED when another tenant holds HBM;
     returns a dict or {'error': ...} after the retries (a real OOM fails
@@ -131,9 +132,11 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
     post-mortem: 3x90 s sleeps per failing case starved the whole matrix)."""
     last = None
     tf32 = tf32 or os.environ.get("NEQUIP_BENCH_TF32", "0") == "1"
+    if fgm is None:
+        fgm = os.environ.get("NEQUIP_BENCH_FORCE_GRAD", "rr")
     attempts_left = 2
     while attempts_left > 0:
-        last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32)
+        last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm)
         err = last.get("error", "")
         # tpu_compile_helper exit 1 / HTTP 500 through the tunnel is either a
         # transient backend failure or a compile-time memory blowup at >50k —
@@ -151,18 +154,18 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
         # 15.3 GB temp without remat — r3 attribution)
         ladder_ok = n_atoms > 50000 or (mode == "train" and n_atoms > 15000)
         if ladder_ok:
-            # HBM fallback ladder (does not consume retry attempts or sleep).
-            # infer: save_tp keeps one [N, mid] residual per layer; full
-            # remat drops that too at ~30% step-time recompute cost.
-            # train: per-layer policies do NOT bound train temp (the loss
-            # backward saves the force-VJP residuals regardless); the
-            # "force" policies checkpoint the whole E+F branch instead
-            # (grad_output.py)
-            if mode == "train":
-                nxt = {False: "force", "save_tp": "force",
-                       True: "force_full", "force": "force_full"}.get(remat)
-            else:
-                nxt = {False: "save_tp", "save_tp": True}.get(remat)
+            # HBM fallback ladder (does not consume retry attempts or sleep):
+            # save_tp keeps one [N, mid] residual per layer; full remat drops
+            # that too at ~30% step-time recompute cost.  For TRAIN this
+            # ladder is only effective in fr mode (the dual-sweep surrogate,
+            # training_module.py): under rr, per-layer remat cannot bound the
+            # force-VJP residuals (14-15 GiB at 23k regardless of policy; fr
+            # + save_tp measured 7.5 GiB), so OOM'd rr rows switch to fr.
+            if mode == "train" and fgm == "rr":
+                fgm = "fr"
+                remat = "save_tp"
+                continue
+            nxt = {False: "save_tp", "save_tp": True}.get(remat)
             if nxt is not None:
                 remat = nxt
                 continue
@@ -247,7 +250,8 @@ def _run_md_case(n_atoms, tp_impl, dtype, n_md_steps):
 
 
 def _run_case_once(
-    n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf32=False
+    n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf32=False,
+    fgm="rr",
 ):
     import jax
 
@@ -289,7 +293,7 @@ def _run_case_once(
                 model=model,
                 loss=EnergyForceLoss(type_names=["Cu"]),
                 optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
-                force_grad_mode=os.environ.get("NEQUIP_BENCH_FORCE_GRAD", "rr"),
+                force_grad_mode=fgm,
             )
             state = module.init_state()
             coeffs = module.loss.coeff_vector()
@@ -338,6 +342,7 @@ def _run_case_once(
             "tp_impl": tp_impl,
             "dtype": dtype,
             "tf32": bool(tf32),
+            **({"force_grad": fgm} if mode == "train" else {}),
             "remat": (
                 remat
                 if remat is not None
@@ -465,32 +470,35 @@ def main():
             flush=True,
         )
 
-    # (atoms, mode, impl, dtype, steps, remat, tf32, tier)
+    # (atoms, mode, impl, dtype, steps, remat, tf32, fgm, tier)
     # tier "cheap" always runs; tier "big" needs the HBM probe AND remaining
     # budget; tier "mid" needs remaining budget only.
     # Ordering rationale (r3): after the two cheap anchors, the proven-good
     # >50k bf16 case runs FIRST among the expensive rows so the north-star-
     # scale headline lands before the slow-compiling cases (the md case's
     # cold Mosaic+XLA compile took >20 min through the tunnel).  Train rows
-    # use remat="save_tp": the 23k f32 train program needs 15.3 GB of temp
-    # without it — un-runnable on a co-tenanted 16 GB chip (r3 attribution).
+    # use fr (dual-sweep surrogate) + save_tp: the only combination whose
+    # temp memory is boundable (7.5 GiB at 23k vs rr's 14-15 at ANY remat
+    # policy) — robust next to a co-tenant on the 16 GB chip.
     plan = [
-        (4000, "infer", "xla", dtype, n_steps, False, False, "cheap"),
-        (23000, "infer", "pallas_fused", dtype, n_steps, False, False, "cheap"),
-        (100000, "infer", "pallas_fused", "bfloat16", n_steps, False, False, "big"),
-        (100000, "infer", "pallas_fused", dtype, n_steps, False, True, "big"),
-        (23000, "infer", "xla", dtype, n_steps, False, False, "mid"),
-        (23000, "train", "pallas", dtype, max(3, n_steps // 2), False, True, "mid"),
-        (100000, "infer", "pallas_fused", dtype, n_steps, False, False, "big"),
-        (23000, "md", "pallas_fused", dtype, n_steps, False, False, "mid"),
+        (4000, "infer", "xla", dtype, n_steps, False, False, None, "cheap"),
+        (23000, "infer", "pallas_fused", dtype, n_steps, False, False, None, "cheap"),
+        (100000, "infer", "pallas_fused", "bfloat16", n_steps, False, False, None, "big"),
+        (100000, "infer", "pallas_fused", dtype, n_steps, False, True, None, "big"),
+        (23000, "infer", "xla", dtype, n_steps, False, False, None, "mid"),
+        (23000, "train", "pallas_fused", dtype, max(3, n_steps // 2), "save_tp", True,
+         "fr", "mid"),
+        (100000, "infer", "pallas_fused", dtype, n_steps, False, False, None, "big"),
+        (23000, "md", "pallas_fused", dtype, n_steps, False, False, None, "mid"),
         # pallas_fused is the ONLY impl that compiles at 100k (VERDICT r2);
-        # it trains since the composition VJP landed (commit 747fe5e)
-        (100000, "train", "pallas_fused", dtype, 2, True, True, "big"),
+        # it trains since the composition VJP landed, and fr + per-layer
+        # remat is the only memory-boundable mode at this size
+        (100000, "train", "pallas_fused", dtype, 2, True, True, "fr", "big"),
     ]
 
     cases = []
     probe_ok = None
-    for i, (atoms, mode, impl, dt_, steps, remat, tf32, tier) in enumerate(plan):
+    for i, (atoms, mode, impl, dt_, steps, remat, tf32, fgm, tier) in enumerate(plan):
         elapsed = time.perf_counter() - t_start
         if i > 0 and tier != "cheap" and elapsed > budget_s:
             cases.append(
@@ -507,7 +515,9 @@ def main():
                      "error": "skipped: HBM probe failed (co-tenant holds chip memory)"}
                 )
                 continue
-        cases.append(run_case(atoms, mode, impl, dt_, steps, remat=remat, tf32=tf32))
+        cases.append(
+            run_case(atoms, mode, impl, dt_, steps, remat=remat, tf32=tf32, fgm=fgm)
+        )
         emit(cases)
 
     # insurance for multi-tenant HBM congestion: if no >50k float32 inference

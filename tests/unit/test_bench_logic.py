@@ -21,7 +21,7 @@ def test_remat_fallback_ladder(bench, monkeypatch):
     sleeping between the ladder steps."""
     calls = []
 
-    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32):
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm):
         calls.append(remat)
         if remat is not True:
             return {"error": "RESOURCE_EXHAUSTED: fake"}
@@ -41,7 +41,7 @@ def test_compile_helper_failure_walks_ladder(bench, monkeypatch):
     100k f32 rows died on it with no fallback)."""
     calls = []
 
-    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32):
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm):
         calls.append(remat)
         if remat is not True:
             return {"error": "JaxRuntimeError: INTERNAL: HTTP 500: "
@@ -56,31 +56,31 @@ def test_compile_helper_failure_walks_ladder(bench, monkeypatch):
     assert calls == [False, "save_tp", True]
 
 
-def test_train_ladder_walks_force_policies(bench, monkeypatch):
-    """Train OOM walks False -> "force" -> "force_full": per-layer remat
-    cannot bound train temp memory (the loss backward saves the force-VJP
-    residuals regardless — measured 14-15 GiB at 23k for every per-layer
-    policy), so the ladder escalates to checkpointing the whole E+F branch."""
+def test_train_ladder_switches_to_fr(bench, monkeypatch):
+    """Train OOM under rr switches to the fr dual-sweep surrogate with
+    per-layer remat (the only memory-boundable mode: rr needs 14-15 GiB at
+    23k regardless of policy, fr+save_tp measured 7.5 GiB), then walks the
+    normal remat ladder."""
     calls = []
 
-    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32):
-        calls.append(remat)
-        if remat != "force_full":
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm):
+        calls.append((fgm, remat))
+        if not (fgm == "fr" and remat is True):
             return {"error": "RESOURCE_EXHAUSTED: fake"}
         return {"atoms": n_atoms, "mode": mode, "tp_impl": tp_impl,
                 "dtype": dtype, "atom_steps_per_s": 1.0}
 
     monkeypatch.setattr(bench, "_run_case_once", fake_once)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    out = bench.run_case(23000, "train", "pallas", remat=False)
+    out = bench.run_case(23000, "train", "pallas", remat=False, fgm="rr")
     assert "error" not in out
-    assert calls == [False, "force", "force_full"]
+    assert calls == [("rr", False), ("fr", "save_tp"), ("fr", True)]
 
 
 def test_small_case_no_remat_ladder(bench, monkeypatch):
     calls = []
 
-    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32):
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm):
         calls.append(remat)
         return {"error": "RESOURCE_EXHAUSTED: fake"}
 
