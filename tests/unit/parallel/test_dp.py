@@ -244,3 +244,27 @@ def test_dp_bucket_aware_grouping():
     _assert_states_match(dp_state, ref_state)
     waste = loader.padding_waste()
     assert waste < 0.25, f"padding waste {waste:.2%} with buckets"
+
+
+def test_dp_fr_grads_match_single_device(setup_fr):
+    """fr (dual-sweep surrogate) under DP: the psum'd output-cotangent graph
+    plus psum'd surrogate grads must equal the single-device superbatch step
+    exactly — same contract as rr (test_dp_grads_match_single_device)."""
+    module, dataset = setup_fr
+    ref_state, ref_logs = _single_device_step(module, dataset, N_DEV)
+    dp_state, dp_logs, _ = _dp_step(module, dataset, N_DEV)
+    np.testing.assert_allclose(
+        float(dp_logs["train_loss_step/weighted_sum"]),
+        float(ref_logs["train_loss_step/weighted_sum"]),
+        rtol=1e-12,
+    )
+    _assert_states_match(dp_state, ref_state)
+
+
+@pytest.fixture(scope="module")
+def setup_fr():
+    if jax.device_count() < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices")
+    module = _module()
+    module.force_grad_mode = "fr"
+    return module, _dataset(N_DEV)
