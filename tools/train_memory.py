@@ -39,18 +39,19 @@ def main():
         for rm in remats:
             remat = {"0": False, "1": True}.get(rm, rm)
             try:
+                dt = os.environ.get("NEQUIP_TRAIN_MEM_DTYPE", "float32")
                 model, params, data = _example_model_and_batch(
-                    model_dtype="float32", n_atoms=n_atoms, l_max=2,
+                    model_dtype=dt, n_atoms=n_atoms, l_max=2,
                     tp_impl=impl, remat=remat,
                 )
                 rng = np.random.RandomState(2)
                 data = dict(data)
                 data[_keys.TOTAL_ENERGY_KEY] = jnp.asarray(
-                    rng.standard_normal((2, 1)), dtype="float32"
+                    rng.standard_normal((2, 1)), dtype=dt
                 )
                 data[_keys.FORCE_KEY] = jnp.asarray(
                     rng.standard_normal(data[_keys.POSITIONS_KEY].shape),
-                    dtype="float32",
+                    dtype=dt,
                 )
                 module = EMATrainModule(
                     model=model,
