@@ -486,6 +486,7 @@ def main():
         (100000, "infer", "pallas_fused", "bfloat16", n_steps, False, False, None, "big"),
         (100000, "infer", "pallas_fused", dtype, n_steps, False, True, None, "big"),
         (23000, "infer", "xla", dtype, n_steps, False, False, None, "mid"),
+        (23000, "infer", "pallas_fused", "bfloat16", n_steps, False, False, None, "mid"),
         (23000, "train", "pallas_fused", dtype, max(3, n_steps // 2), "save_tp", True,
          "fr", "mid"),
         (100000, "infer", "pallas_fused", dtype, n_steps, False, False, None, "big"),
