@@ -365,6 +365,64 @@ def _run_case_once(
         }
 
 
+_CASE_MARK = "===CASE_JSON==="
+
+
+def _run_case_guarded(atoms, mode, impl, dtype, steps, remat, tf32, fgm, timeout_s):
+    """run_case in a child process with a hard timeout (hang-proof)."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    payload = json.dumps([atoms, mode, impl, dtype, steps, remat, tf32, fgm])
+    code = (
+        "import json, sys\n"
+        f"sys.path.insert(0, {here!r})\n"
+        "import bench\n"
+        f"a = json.loads({payload!r})\n"
+        "r = bench.run_case(a[0], a[1], a[2], a[3], a[4],"
+        " remat=a[5], tf32=a[6], fgm=a[7])\n"
+        f"print({_CASE_MARK!r} + json.dumps(r), flush=True)\n"
+    )
+    base = {"atoms": atoms, "mode": mode, "tp_impl": impl, "dtype": dtype}
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, cwd=here,
+        )
+    except subprocess.TimeoutExpired:
+        return {**base, "error": f"case timed out after {timeout_s:.0f}s "
+                                 "(hung TPU tunnel or runaway compile)"}
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith(_CASE_MARK):
+            return json.loads(line[len(_CASE_MARK):])
+    return {**base, "error": f"case subprocess rc={p.returncode}: "
+                             f"{(p.stderr or p.stdout)[-300:]}"}
+
+
+def _hbm_probe_guarded(gib: float = 6.0, timeout_s: float = 300.0) -> bool:
+    """hbm_probe in a child process: False on failure, timeout, or hang."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {here!r})\n"
+        "import bench\n"
+        f"ok = bench.hbm_probe({gib!r})\n"
+        "sys.exit(0 if ok else 3)\n"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, cwd=here,
+        )
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     n_steps = int(os.environ.get("NEQUIP_BENCH_STEPS", 6))
     dtype = os.environ.get("NEQUIP_BENCH_DTYPE", "float32")
@@ -497,6 +555,14 @@ def main():
         (100000, "train", "pallas_fused", dtype, 2, True, True, "fr", "big"),
     ]
 
+    # every case (and the HBM probe) runs in a CHILD process with its own
+    # timeout: the axon tunnel has been observed in a HUNG state (device ops
+    # block forever instead of erroring — r3, 2026-08-17 outage), and an
+    # in-process hang would stall the whole matrix past the driver's kill
+    # timeout with nothing on stdout (the round-2 failure mode).  A hung
+    # case becomes an error row and the matrix moves on; compiled programs
+    # are shared across children via the on-disk JAX compilation cache.
+    subproc = os.environ.get("NEQUIP_BENCH_SUBPROC", "1") == "1"
     cases = []
     probe_ok = None
     for i, (atoms, mode, impl, dt_, steps, remat, tf32, fgm, tier) in enumerate(plan):
@@ -509,17 +575,42 @@ def main():
             continue
         if tier == "big":
             if probe_ok is None:
-                probe_ok = hbm_probe()
+                probe_ok = _hbm_probe_guarded() if subproc else hbm_probe()
             if not probe_ok:
                 cases.append(
                     {"atoms": atoms, "mode": mode, "tp_impl": impl, "dtype": dt_,
-                     "error": "skipped: HBM probe failed (co-tenant holds chip memory)"}
+                     "error": "skipped: HBM probe failed (co-tenant holds chip memory or tunnel down)"}
                 )
                 continue
-        cases.append(
-            run_case(atoms, mode, impl, dt_, steps, remat=remat, tf32=tf32, fgm=fgm)
-        )
+        if subproc:
+            elapsed = time.perf_counter() - t_start
+            timeout_s = min(900.0, max(420.0, budget_s - elapsed + 120.0))
+            case = _run_case_guarded(
+                atoms, mode, impl, dt_, steps, remat, tf32, fgm, timeout_s
+            )
+        else:
+            case = run_case(
+                atoms, mode, impl, dt_, steps, remat=remat, tf32=tf32, fgm=fgm
+            )
+        cases.append(case)
         emit(cases)
+        # total-tunnel-death early exit: if the FIRST (cheap, known-good)
+        # case hung AND a guarded probe also fails, the backend is gone —
+        # record skip rows for the rest instead of burning a timeout each
+        if (
+            subproc
+            and i == 0
+            and "timed out" in case.get("error", "")
+            and not _hbm_probe_guarded(0.01, timeout_s=240.0)
+        ):
+            for atoms2, mode2, impl2, dt2, *_rest in plan[1:]:
+                cases.append(
+                    {"atoms": atoms2, "mode": mode2, "tp_impl": impl2,
+                     "dtype": dt2,
+                     "error": "skipped: TPU backend unreachable (tunnel outage)"}
+                )
+            emit(cases)
+            return
 
     # insurance for multi-tenant HBM congestion: if no >50k float32 inference
     # case landed, a reduced >50k size keeps the north-star-scale headline
