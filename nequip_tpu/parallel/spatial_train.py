@@ -181,14 +181,16 @@ class SpatialTrainModule(NequIPTrainModule):
         local_mask = a["local_mask"]
         gmask = a["ghost_mask"]
 
-        def energy_of(pos_local, p):
+        def pos_full_of(pos_local):
             all_pos = jax.lax.all_gather(pos_local, gax)
             ghost_pos = all_pos[a["ghost_owner_dev"], a["ghost_owner_idx"]] + a[
                 "ghost_shift"
             ].astype(pos_local.dtype)
-            pos_full = jnp.concatenate([pos_local, ghost_pos], axis=0)
+            return jnp.concatenate([pos_local, ghost_pos], axis=0)
+
+        def build_data(pos_full):
             types_full = jnp.concatenate([a["local_types"], a["ghost_types"]])
-            data = {
+            return {
                 _keys.POSITIONS_KEY: pos_full,
                 _keys.ATOM_TYPE_KEY: types_full,
                 _keys.EDGE_INDEX_KEY: a["edge_index"],
@@ -201,9 +203,13 @@ class SpatialTrainModule(NequIPTrainModule):
                 GHOST_OWNER_IDX_KEY: a["ghost_owner_idx"],
                 "ghost_mask": gmask,
             }
-            out = energy_net(p, data)
+
+        def local_e_sum(out):
             e_atom = out[_keys.PER_ATOM_ENERGY_KEY][:L].reshape(-1)
             return jnp.sum(jnp.where(local_mask, e_atom, 0.0))
+
+        def energy_of(pos_local, p):
+            return local_e_sum(energy_net(p, build_data(pos_full_of(pos_local))))
 
         n_tot = jax.lax.psum(jnp.sum(local_mask), (dax, gax))
 
@@ -271,6 +277,60 @@ class SpatialTrainModule(NequIPTrainModule):
                     c_raw = c_raw + coeffs[i]
             else:
                 c_f = c_f + coeffs[i]
+
+        if self.force_grad_mode == "fr":
+            # fr (reverse-over-forward, see training_module / design.md §8):
+            # pass 1 computes forces + all sums first-order; the force term's
+            # gradient becomes -grad_p of a directional derivative of the
+            # energy graph, evaluated by the module dual sweep with the
+            # GLOBAL tangent (the local cotangent v plus every other
+            # device's v entering through the ghosts — exactly the
+            # cross-device force coupling).  The reverse pass is then
+            # first-order, so per-layer remat bounds memory on the mesh too.
+            e0, neg_f0 = jax.value_and_grad(energy_of, argnums=0)(
+                a["local_pos"], params
+            )
+            bs0, (de_raw0, de_pa0), _ = sums_of(e0, -neg_f0)
+            fe0 = jnp.where(local_mask[:, None], -neg_f0 - f_ref_loc, 0.0)
+            dt = fe0.dtype
+            v = jax.lax.stop_gradient(
+                (2.0 * c_f.astype(dt) / (3.0 * n_tot.astype(dt))) * fe0
+            )
+            de_raw0 = jax.lax.stop_gradient(de_raw0)
+            de_pa0 = jax.lax.stop_gradient(de_pa0)
+            nf = n_atoms_f.astype(dt)
+
+            def surrogate_fr(p):
+                t_full = jnp.concatenate(
+                    [
+                        v,
+                        jax.lax.all_gather(v, gax)[
+                            a["ghost_owner_dev"], a["ghost_owner_idx"]
+                        ],
+                    ],
+                    axis=0,
+                )
+                data = build_data(pos_full_of(a["local_pos"]))
+                out, tout = energy_net.jvp(
+                    p, data, {_keys.POSITIONS_KEY: t_full}
+                )
+                e_local = local_e_sum(out)
+                t_atom = tout[_keys.PER_ATOM_ENERGY_KEY][:L].reshape(-1)
+                d_e = jnp.sum(jnp.where(local_mask, t_atom, 0.0))
+                # <v, F> = -jvp_pos(sum E; v); energy terms as in rr below
+                return (
+                    (
+                        c_pa.astype(dt) * 2.0 * de_pa0 / nf
+                        + c_raw.astype(dt) * 2.0 * de_raw0
+                    )
+                    / n_dp
+                    * e_local
+                    - d_e
+                )
+
+            g = jax.grad(surrogate_fr)(params)
+            g = jax.lax.psum(g, (dax, gax))
+            return psum_bs(bs0), g
 
         def surrogate(p):
             e_local, neg_f = jax.value_and_grad(energy_of, argnums=0)(

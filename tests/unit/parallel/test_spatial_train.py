@@ -201,3 +201,45 @@ def test_2d_mesh_through_trainer(setup, tmp_path):
             "val0_epoch/weighted_sum",
         ):
             np.testing.assert_allclose(r_sp[k], r_ref[k], rtol=1e-9, err_msg=k)
+
+
+def test_2d_mesh_fr_training_matches_single_device(setup):
+    """SpatialTrainModule with force_grad_mode='fr' (dual-sweep surrogate):
+    losses/params must match the single-device rr reference exactly — the
+    global tangent (local cotangent + every other device's cotangent via
+    the ghosts) reproduces the cross-device force coupling."""
+    ds = setup
+    ref = NequIPTrainModule(
+        model=_model(),
+        loss=EnergyForceLoss(per_atom_energy=True),
+        optimizer=OPT,
+    )
+    state = ref.init_state()
+    step = jax.jit(ref.make_train_step())
+    coeffs = ref.loss.coeff_vector()
+    ref_losses = []
+    for batch in DataLoader(ds, batch_size=N_DP, shuffle=False):
+        state, logs = step(state, batch, coeffs, jnp.asarray(1.0))
+        ref_losses.append(float(logs["train_loss_step/weighted_sum"]))
+
+    mesh = make_2d_mesh(N_DP, N_GRAPH)
+    sp = SpatialTrainModule(
+        model=_model(),
+        loss=EnergyForceLoss(per_atom_energy=True),
+        optimizer=OPT,
+        mesh=mesh,
+        force_grad_mode="fr",
+    )
+    sp_state = sp.init_state()
+    sp_step = jax.jit(sp.make_train_step())
+    sp_losses = []
+    for batch in SpatialFrameLoader(ds, mesh, R_MAX, shuffle=False):
+        sp_state, logs = sp_step(sp_state, batch, coeffs, jnp.asarray(1.0))
+        sp_losses.append(float(logs["train_loss_step/weighted_sum"]))
+
+    np.testing.assert_allclose(sp_losses, ref_losses, rtol=1e-9)
+    for p, q in zip(
+        jax.tree.leaves(jax.device_get(sp_state.params)),
+        jax.tree.leaves(jax.device_get(state.params)),
+    ):
+        np.testing.assert_allclose(p, q, rtol=1e-9, atol=1e-11)
