@@ -255,13 +255,18 @@ def disable_MeshGhostExchange(model):
 class ShardedGraphEvaluator:
     """Energy/forces for one huge frame spatially sharded over the mesh."""
 
-    def __init__(self, model, params, mesh: Optional[Mesh] = None, axis_name: str = "graph"):
+    def __init__(self, model, params, mesh: Optional[Mesh] = None, axis_name: str = "graph",
+                 force_grad_mode: str = "rr"):
         from .mesh import make_mesh
 
         self.mesh = mesh if mesh is not None else make_mesh(axis_names=(axis_name,))
         self.axis_name = axis_name
         self.model = model
         self.params = params
+        # "rr" or "fr" (dual-sweep surrogate) for loss_and_grad — see
+        # SpatialTrainModule._device_sums / docs/design.md §8
+        assert force_grad_mode in ("rr", "fr"), force_grad_mode
+        self.force_grad_mode = force_grad_mode
         self._fn = None
         self._caps = None
 
@@ -451,19 +456,16 @@ class ShardedGraphEvaluator:
         energy_net = model.model.func
         L, G = caps["L"], caps["G"]
 
+        fgm = self.force_grad_mode
+
         def device_fn(params, e_ref, a, f_ref_loc):
             local_pos = a["local_pos"]
             local_mask = a["local_mask"]
             gmask = a["gmask"]
 
-            def energy_of(pos_local, p):
-                all_pos = jax.lax.all_gather(pos_local, ax)
-                ghost_pos = all_pos[a["gdev"], a["gidx"]] + a["gshift"].astype(
-                    pos_local.dtype
-                )
-                pos_full = jnp.concatenate([pos_local, ghost_pos], axis=0)
+            def build_data(pos_full):
                 types_full = jnp.concatenate([a["local_types"], a["ghost_types"]])
-                data = {
+                return {
                     _keys.POSITIONS_KEY: pos_full,
                     _keys.ATOM_TYPE_KEY: types_full,
                     _keys.EDGE_INDEX_KEY: a["edge_index"],
@@ -476,9 +478,60 @@ class ShardedGraphEvaluator:
                     GHOST_OWNER_IDX_KEY: a["gidx"],
                     "ghost_mask": gmask,
                 }
-                out = energy_net(p, data)
+
+            def pos_full_of(pos_local):
+                all_pos = jax.lax.all_gather(pos_local, ax)
+                ghost_pos = all_pos[a["gdev"], a["gidx"]] + a["gshift"].astype(
+                    pos_local.dtype
+                )
+                return jnp.concatenate([pos_local, ghost_pos], axis=0)
+
+            def local_e_sum(out):
                 e_atom = out[_keys.PER_ATOM_ENERGY_KEY][:L].reshape(-1)
                 return jnp.sum(jnp.where(local_mask, e_atom, 0.0))
+
+            def energy_of(pos_local, p):
+                return local_e_sum(
+                    energy_net(p, build_data(pos_full_of(pos_local)))
+                )
+
+            if fgm == "fr":
+                # dual-sweep surrogate (see SpatialTrainModule._device_sums):
+                # pass 1 computes forces first-order; the force-MSE gradient
+                # becomes -grad_p of a directional derivative of the energy
+                # graph with the GLOBAL tangent (local cotangent + the other
+                # devices' cotangents through the ghosts)
+                e0, neg_f0 = jax.value_and_grad(energy_of, argnums=0)(
+                    local_pos, params
+                )
+                e_total0 = jax.lax.psum(e0, ax)
+                de = (e_total0 - e_ref) / n_atoms
+                fe0 = jnp.where(local_mask[:, None], -neg_f0 - f_ref_loc, 0.0)
+                sse_f = jnp.sum(fe0 * fe0)
+                dt = fe0.dtype
+                v = jax.lax.stop_gradient(
+                    (2.0 * cf / (3.0 * n_atoms)) * fe0
+                ).astype(dt)
+                de_sg = jax.lax.stop_gradient(de)
+
+                def surrogate_fr(p):
+                    t_full = jnp.concatenate(
+                        [v, jax.lax.all_gather(v, ax)[a["gdev"], a["gidx"]]],
+                        axis=0,
+                    )
+                    data = build_data(pos_full_of(local_pos))
+                    out, tout = energy_net.jvp(
+                        p, data, {_keys.POSITIONS_KEY: t_full}
+                    )
+                    e_local = local_e_sum(out)
+                    t_atom = tout[_keys.PER_ATOM_ENERGY_KEY][:L].reshape(-1)
+                    d_e = jnp.sum(jnp.where(local_mask, t_atom, 0.0))
+                    return ce * 2.0 * de_sg / n_atoms * e_local - d_e
+
+                g = jax.grad(surrogate_fr)(params)
+                g = jax.lax.psum(g, ax)
+                loss = ce * de**2 + cf * jax.lax.psum(sse_f, ax) / (3.0 * n_atoms)
+                return loss, g
 
             def surrogate(p):
                 e_local, neg_f = jax.value_and_grad(energy_of, argnums=0)(

@@ -134,3 +134,31 @@ def test_sharded_training_grads_match_single_device(setup):
         l, g = ev.loss_and_grad(frame, e_ref, f_ref, energy_coeff=ce, force_coeff=cf)
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+def test_sharded_training_grads_fr_matches_rr(setup):
+    """ShardedGraphEvaluator.loss_and_grad with force_grad_mode='fr' (dual
+    sweep) == the rr evaluator's loss/grads (which themselves match single
+    device) on the 8-device virtual mesh."""
+    model, params, frame = setup
+    n = 64
+    ce, cf = 1.0, 0.7
+    r = np.random.RandomState(5)
+    e_ref = -20.0
+    f_ref = r.standard_normal((n, 3))
+
+    from nequip_tpu.parallel.ghost import ShardedGraphEvaluator, disable_MeshGhostExchange
+
+    results = {}
+    for fgm in ("rr", "fr"):
+        disable_MeshGhostExchange(model)
+        mesh = make_mesh((8,), ("graph",))
+        ev = ShardedGraphEvaluator(
+            model, params, mesh=mesh, axis_name="graph", force_grad_mode=fgm
+        )
+        l, g = ev.loss_and_grad(frame, e_ref, f_ref, energy_coeff=ce, force_coeff=cf)
+        results[fgm] = (float(l), g)
+
+    np.testing.assert_allclose(results["fr"][0], results["rr"][0], rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(results["fr"][1]), jax.tree.leaves(results["rr"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11, rtol=1e-9)
