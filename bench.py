@@ -80,7 +80,7 @@ def _canonical_fwd_flops(n_atoms: int, dtype: str) -> float:
     return _CANON_FWD[key]
 
 
-def _train_flop_ratio(dtype: str) -> float:
+def _train_flop_ratio(dtype: str, fgm: str = "rr") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +88,8 @@ def _train_flop_ratio(dtype: str) -> float:
     from nequip_tpu.data import _keys
     from nequip_tpu.train import EMATrainModule, EnergyForceLoss
 
-    if dtype not in _TRAIN_RATIO:
+    key = (dtype, fgm)
+    if key not in _TRAIN_RATIO:
         try:
             model, params, data = _example_model_and_batch(
                 model_dtype=dtype, n_atoms=4000, l_max=2, tp_impl="xla"
@@ -108,18 +109,19 @@ def _train_flop_ratio(dtype: str) -> float:
                 model=model,
                 loss=EnergyForceLoss(type_names=["Cu"]),
                 optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
+                force_grad_mode=fgm,
             )
             state = module.init_state()
             step = jax.jit(module.make_train_step())
             train_flops = _flops_of(
                 step.lower(state, data, module.loss.coeff_vector()).compile()
             )
-            _TRAIN_RATIO[dtype] = train_flops / fwd_flops
+            _TRAIN_RATIO[key] = train_flops / fwd_flops
         except Exception:
             # E+F-loss training = fwd + bwd through the double-backward
             # force graph; ~4x forward is the standard estimate
-            _TRAIN_RATIO[dtype] = 4.0
-    return _TRAIN_RATIO[dtype]
+            _TRAIN_RATIO[key] = 4.0
+    return _TRAIN_RATIO[key]
 
 
 def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf32=False,
@@ -333,7 +335,7 @@ def _run_case_once(
             # requested size up, and throughput divides by n_real)
             flops = _canonical_fwd_flops(n_real, dtype)
             if mode == "train":
-                flops *= _train_flop_ratio(dtype)
+                flops *= _train_flop_ratio(dtype, fgm)
             flops_source = "xla_canonical"
         tflops = flops / dt / 1e12 if np.isfinite(flops) else None
         return {
