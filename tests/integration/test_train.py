@@ -194,3 +194,18 @@ def test_restart_equivalence_partial_sampler(tmp_path):
     )
     for a, b in zip(final_params(straight), final_params(resumed)):
         np.testing.assert_allclose(a, b, rtol=1e-14, atol=1e-14)
+
+
+def test_fr_training_via_config_matches_rr(tmp_path):
+    """force_grad_mode is a one-line config switch and the whole-workflow
+    training trajectory is identical to the default (rr) run — the
+    config-level proof of the dual-sweep surrogate's exactness."""
+    t_rr = run_config(load_cfg(tmp_path / "rr"))
+    t_fr = run_config(
+        load_cfg(tmp_path / "fr", **{"training_module.force_grad_mode": "fr"})
+    )
+    rr = [r["train_loss_epoch/weighted_sum"] for r in t_rr._metrics_rows]
+    fr = [r["train_loss_epoch/weighted_sum"] for r in t_fr._metrics_rows]
+    np.testing.assert_allclose(fr, rr, rtol=1e-10)
+    for a, b in zip(final_params(t_rr), final_params(t_fr)):
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10)
