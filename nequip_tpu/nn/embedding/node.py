@@ -86,6 +86,15 @@ class NodeTypeEmbed(GraphModule):
             )
         return params
 
+    def jvp(self, params: Params, data: dict, tangents: dict):
+        # reads only integer fields (atom types, categorical graph labels):
+        # outputs carry exactly ZERO tangent.  Overriding the default
+        # (jax.jvp) prevents dense-zero NODE_ATTRS/NODE_FEATURES tangents
+        # from entering the dual sweep — which would cost a wasted kernel
+        # call per conv layer downstream (InteractionBlock.jvp runs a
+        # K(dx, ...) term whenever a feature tangent is present).
+        return self(params, data), dict(tangents)
+
     def __call__(self, params: Params, data: dict) -> dict:
         types = data[_keys.ATOM_TYPE_KEY].reshape(-1)
         emb = jnp.take(params["type_embed"].astype(self.model_dtype), types, axis=0)
