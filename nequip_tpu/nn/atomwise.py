@@ -83,6 +83,19 @@ class AtomwiseLinear(GraphModule):
         data[self.out_field] = self.linear(params, data[self.field])
         return data
 
+    def jvp(self, params: Params, data: dict, tangents: dict):
+        """Hand jvp rule: ``ops.Linear`` carries a custom VJP (which blocks
+        forward-mode AD), but the map is linear in the field — the tangent
+        goes through the same apply."""
+        out = self(params, data)
+        t_out = dict(tangents)
+        t_in = tangents.get(self.field)
+        if t_in is not None:
+            t_out[self.out_field] = self.linear(params, t_in)
+        elif self.out_field != self.field:
+            t_out.pop(self.out_field, None)
+        return out, t_out
+
 
 class AtomwiseReduce(GraphModule):
     """Sum (or mean / normalized-sum) a node field into a per-frame field."""

@@ -93,6 +93,13 @@ class InteractionBlock(GraphModule):
         self.irreps_mid_simplified = irreps_mid.simplify()
         self._mid_needs_merge = len(self.irreps_mid_simplified) != len(irreps_mid)
         self.irreps_mid = irreps_mid
+        if self._mid_needs_merge:
+            mm = jax.custom_vjp(self._merge_mid_impl)
+            mm.defvjp(
+                lambda x: (self._merge_mid_impl(x), None),
+                lambda _, ct: (self._unmerge_mid(ct),),
+            )
+            self._merge_cvjp = mm
         self.linear_2 = Linear(self.irreps_mid_simplified, feature_irreps_out)
 
         self.sc = (
@@ -121,11 +128,7 @@ class InteractionBlock(GraphModule):
             params["sc"] = self.sc.init_weights(k4)
         return params
 
-    def _merge_mid(self, x):
-        """Reshape uncoalesced mid chunks (same ir, adjacent) into merged
-        ir_mul chunks so linear_2 sees the simplified layout."""
-        if not self._mid_needs_merge:
-            return x
+    def _merge_mid_impl(self, x):
         import jax.numpy as jnp
 
         batch = x.shape[:-1]
@@ -144,6 +147,58 @@ class InteractionBlock(GraphModule):
             merged = jnp.concatenate(group, axis=-1)  # (…, 2l+1, sum_mul)
             out.append(merged.reshape(batch + (-1,)))
         return jnp.concatenate(out, axis=-1)
+
+    def _unmerge_mid(self, ct):
+        """Exact inverse of ``_merge_mid_impl`` (it is a static column
+        permutation): slice the merged cotangent per group, split the mul
+        axis back into per-path blocks, and concatenate in the original
+        uncoalesced order."""
+        import jax.numpy as jnp
+
+        batch = ct.shape[:-1]
+        pieces = []
+        goff = 0
+        i = 0
+        while i < len(self.irreps_mid):
+            ir = self.irreps_mid[i].ir
+            muls = []
+            while i < len(self.irreps_mid) and self.irreps_mid[i].ir == ir:
+                muls.append(self.irreps_mid[i].mul)
+                i += 1
+            summul = sum(muls)
+            seg = ct[..., goff : goff + ir.dim * summul].reshape(
+                batch + (ir.dim, summul)
+            )
+            moff = 0
+            for m in muls:
+                pieces.append(
+                    seg[..., :, moff : moff + m].reshape(batch + (ir.dim * m,))
+                )
+                moff += m
+            goff += ir.dim * summul
+        return jnp.concatenate(pieces, axis=-1)
+
+    def _merge_mid(self, x):
+        """Reshape uncoalesced mid chunks (same ir, adjacent) into merged
+        ir_mul chunks so linear_2 sees the simplified layout.
+
+        Carries a custom VJP: the map is a static column permutation, but
+        XLA's autodiff of the slice decomposition rebuilds the cotangent as
+        a chain of full-width ``pad`` + ``add_any`` (~1 GiB/step of
+        materialized HBM traffic at 23k atoms in the E+F backward, StableHLO
+        census r3); the hand rule applies the inverse permutation with
+        slice + concatenate instead.  Plain-jnp bwd, so rr (reverse-over-
+        reverse) force training differentiates through it; the fr dual sweep
+        never forward-diffs it (``InteractionBlock.jvp`` applies it to the
+        tangent directly — jvp of a permutation is itself).
+        """
+        if not self._mid_needs_merge:
+            return x
+        from ..ops import linear as linear_mod
+
+        if not linear_mod.CUSTOM_VJP:  # one switch for structural VJPs
+            return self._merge_mid_impl(x)
+        return self._merge_cvjp(x)
 
     def __call__(self, params: Params, data: dict) -> dict:
         x = data[_keys.NODE_FEATURES_KEY]

@@ -167,14 +167,17 @@ def test_fr_force_grad_mode_exact():
         np.testing.assert_allclose(v[1], ref[1], rtol=1e-10, atol=1e-13, err_msg=str(k))
 
 
-def test_module_jvp_sweep_matches_jax_jvp():
+def test_module_jvp_sweep_matches_jax_jvp(monkeypatch):
     """GraphModule.jvp dual sweep == jax.jvp on the pure-XLA impl (l_max=2,
     positions + cell tangents).  Pins the hand-written InteractionBlock
-    trilinearity rule against autodiff."""
+    trilinearity rule against autodiff.  ops.Linear's custom VJP blocks
+    forward-mode, so the jax.jvp REFERENCE runs with it disabled (the
+    dual-sweep side exercises the shipped custom-VJP path)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
+    import nequip_tpu.ops.linear as linear_mod
     from __graft_entry__ import _example_model_and_batch
     from nequip_tpu.data import _keys
 
@@ -198,6 +201,7 @@ def test_module_jvp_sweep_matches_jax_jvp():
         d[_keys.CELL_KEY] = c
         return func(params, d)
 
+    monkeypatch.setattr(linear_mod, "CUSTOM_VJP", False)
     _, tout_j = jax.jvp(
         f, (inputs[_keys.POSITIONS_KEY], inputs[_keys.CELL_KEY]), (t_pos, t_cell)
     )
