@@ -538,8 +538,9 @@ def main():
     # scale headline lands before the slow-compiling cases (the md case's
     # cold Mosaic+XLA compile took >20 min through the tunnel).  Train rows
     # use fr (dual-sweep surrogate) + save_tp: the only combination whose
-    # temp memory is boundable (7.5 GiB at 23k vs rr's 14-15 at ANY remat
-    # policy) — robust next to a co-tenant on the 16 GB chip.
+    # temp memory is boundable (5.96 GiB at 23k since the structural VJPs
+    # vs rr's 14-15 at ANY remat policy) — robust next to a co-tenant on
+    # the 16 GB chip.
     plan = [
         (4000, "infer", "xla", dtype, n_steps, False, False, None, "cheap"),
         (23000, "infer", "pallas_fused", dtype, n_steps, False, False, None, "cheap"),
@@ -552,9 +553,13 @@ def main():
         (100000, "infer", "pallas_fused", dtype, n_steps, False, False, None, "big"),
         (23000, "md", "pallas_fused", dtype, n_steps, False, False, None, "mid"),
         # pallas_fused is the ONLY impl that compiles at 100k (VERDICT r2);
-        # it trains since the composition VJP landed, and fr + per-layer
-        # remat is the only memory-boundable mode at this size
-        (100000, "train", "pallas_fused", dtype, 2, True, True, "fr", "big"),
+        # it trains since the composition VJP landed.  Compile-only probes
+        # (tools/train_memory.py, r3 session 5): the fr dual-sweep train
+        # floor is per-edge residuals (5.96 GiB at 23k f32, identical at
+        # save_tp and full remat) — at 100k it compiles ONLY in bf16
+        # (save_tp 15.55 GiB; f32 needs ~27 GiB and fails buffer assignment
+        # at every policy), so the 100k train row is bf16 by construction
+        (100000, "train", "pallas_fused", "bfloat16", 2, "save_tp", False, "fr", "big"),
     ]
 
     # every case (and the HBM probe) runs in a CHILD process with its own
