@@ -14,8 +14,11 @@ Capacity policy
   that fits.  For mixed-size foundation datasets (MPTrj-class) this bounds
   padding waste at the cost of ``n_buckets`` jit signatures — the TPU answer
   to the reference's dynamic-shape compilation (``_key_registry.py:212-249``).
-  NOTE: data-parallel grouping requires identical shapes across micro-batches,
-  so use ``n_buckets=1`` with ``trainer.devices > 1``.
+  Composes with data parallelism: ``DataParallel.group_batches``
+  (``parallel/dp.py``) groups same-bucket batches into device-stacked
+  super-batches (one jit signature per bucket), so ``n_buckets>1`` works
+  with ``trainer.devices > 1`` — the trainer wires this automatically
+  (``train/trainer.py``).
 
 Deterministic + restartable: shuffling is keyed by (seed, epoch), and the
 loader exposes ``state_dict``/``load_state_dict`` like the reference's
