@@ -79,27 +79,41 @@ class NequIPCalculator:
         batch = batched_from_list([data])
         n = batch[_keys.POSITIONS_KEY].shape[0]
         e = batch[_keys.EDGE_INDEX_KEY].shape[1]
-        if self.capacities is None:
-            # bucketed capacities: few recompiles, amortized across calls
-            self.capacities = {
-                "n_nodes": round_up(n, self.pad_multiple),
-                "n_edges": round_up(max(e, 1), 2 * self.pad_multiple),
-                "n_frames": 2,
-            }
-        cap = self.capacities
-        if n > cap["n_nodes"] or e > cap["n_edges"]:
-            if hasattr(self.predictor, "capacities"):
+        if hasattr(self.predictor, "select_capacities"):
+            # capacity-ladder artifact: pad to the smallest rung that fits,
+            # so a growing system (NPT, deposition) walks up the ladder
+            # without a re-export (the static-shape answer to the
+            # reference's dynamic-dim bounds, compile.py:266-270)
+            cap = self.predictor.select_capacities(n, e)
+            if cap is None:
                 raise ValueError(
                     f"system ({n} atoms, {e} edges) exceeds the compiled "
-                    f"artifact capacities {cap}; re-compile with larger "
-                    f"--num-nodes/--num-edges"
+                    f"artifact's largest capacity rung "
+                    f"{self.predictor.capacities}; re-compile with larger "
+                    f"--num-nodes/--num-edges or more --capacity-ladder rungs"
                 )
-            # eager predictor: grow buckets
-            cap = self.capacities = {
-                "n_nodes": round_up(n, self.pad_multiple),
-                "n_edges": round_up(e, 2 * self.pad_multiple),
-                "n_frames": 2,
-            }
+        else:
+            if self.capacities is None:
+                # bucketed capacities: few recompiles, amortized across calls
+                self.capacities = {
+                    "n_nodes": round_up(n, self.pad_multiple),
+                    "n_edges": round_up(max(e, 1), 2 * self.pad_multiple),
+                    "n_frames": 2,
+                }
+            cap = self.capacities
+            if n > cap["n_nodes"] or e > cap["n_edges"]:
+                if hasattr(self.predictor, "capacities"):
+                    raise ValueError(
+                        f"system ({n} atoms, {e} edges) exceeds the compiled "
+                        f"artifact capacities {cap}; re-compile with larger "
+                        f"--num-nodes/--num-edges"
+                    )
+                # eager predictor: grow buckets
+                cap = self.capacities = {
+                    "n_nodes": round_up(n, self.pad_multiple),
+                    "n_edges": round_up(e, 2 * self.pad_multiple),
+                    "n_frames": 2,
+                }
         return pad_batch(batch, cap["n_nodes"], cap["n_edges"], cap["n_frames"]), n
 
     def calculate(self, frame: dict) -> Dict[str, np.ndarray]:

@@ -9,7 +9,12 @@ from .saved_models import (
 )
 from .e3nn_import import export_to_e3nn_npz, import_e3nn_npz
 from .modify_utils import modify
-from .inference_models import load_compiled_model, save_compiled_model, CompiledModel
+from .inference_models import (
+    load_compiled_model,
+    save_compiled_model,
+    validate_artifact,
+    CompiledModel,
+)
 
 __all__ = [
     "import_e3nn_npz",
@@ -26,5 +31,6 @@ __all__ = [
     "modify",
     "load_compiled_model",
     "save_compiled_model",
+    "validate_artifact",
     "CompiledModel",
 ]

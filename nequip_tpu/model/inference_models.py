@@ -90,22 +90,8 @@ TARGET_OUTPUT_FIELDS = {
 }
 
 
-def save_compiled_model(
-    out_path: str,
-    model,
-    params,
-    example_batch: Dict[str, np.ndarray],
-    target: str = "ase",
-    mode: str = "jaxexport",
-) -> dict:
-    """Export ``model(params, batch)`` restricted to the target's I/O fields."""
-    import jax
-    from jax import export as jax_export
-
-    input_fields = [k for k in TARGET_INPUT_FIELDS[target] if k in example_batch]
-    output_fields = TARGET_OUTPUT_FIELDS[target]
-
-    capacities = {
+def _caps_of(example_batch: Dict[str, np.ndarray]) -> Dict[str, int]:
+    return {
         "n_nodes": int(example_batch[_keys.POSITIONS_KEY].shape[0])
         if _keys.POSITIONS_KEY in example_batch
         else int(example_batch[_keys.EDGE_VECTORS_KEY].shape[0]),
@@ -113,14 +99,50 @@ def save_compiled_model(
         "n_frames": int(example_batch[_keys.NUM_NODES_KEY].shape[0]),
     }
 
+
+def save_compiled_model(
+    out_path: str,
+    model,
+    params,
+    example_batch,
+    target: str = "ase",
+    mode: str = "jaxexport",
+) -> dict:
+    """Export ``model(params, batch)`` restricted to the target's I/O fields.
+
+    ``example_batch`` may be a single padded batch (one static signature) or
+    a *list* of padded batches with ascending capacities — a **capacity
+    ladder**.  The ladder is the TPU-idiomatic closure of the reference's
+    bounded-dynamic export (``/root/reference/nequip/scripts/compile.py:266-270``,
+    ``_compile_utils.py:41-91``): instead of one compilation with symbolic
+    dim bounds, the artifact carries one AOT signature per rung and the
+    calculator pads every system to the smallest rung that fits — so an NPT
+    or variable-N simulation that outgrows one capacity moves to the next
+    rung without re-export.
+    """
+    import jax
+    from jax import export as jax_export
+
+    batches = (
+        list(example_batch) if isinstance(example_batch, (list, tuple))
+        else [example_batch]
+    )
+    base = batches[0]
+    input_fields = [k for k in TARGET_INPUT_FIELDS[target] if k in base]
+    output_fields = TARGET_OUTPUT_FIELDS[target]
+
+    ladder = [_caps_of(b) for b in batches]
+    assert ladder == sorted(ladder, key=lambda c: (c["n_nodes"], c["n_edges"])), (
+        "capacity ladder rungs must be ascending"
+    )
+
     def flat_fn(*arrays):
         data = dict(zip(input_fields, arrays))
         out = model(params, data)
         return tuple(out[k] for k in output_fields if k in out)
 
-    example_arrays = tuple(example_batch[k] for k in input_fields)
     # probe eagerly for which outputs exist
-    probe = model(params, dict(zip(input_fields, example_arrays)))
+    probe = model(params, {k: base[k] for k in input_fields})
     output_fields = [k for k in output_fields if k in probe]
 
     metadata = {
@@ -129,23 +151,25 @@ def save_compiled_model(
         "mode": mode,
         "input_fields": input_fields,
         "output_fields": output_fields,
-        "capacities": capacities,
+        "capacities": ladder[0],
+        "capacity_ladder": ladder,
         "platform": jax.default_backend(),
         **{k: str(v) for k, v in model.metadata.items()},
     }
 
-    exported_bytes = None
+    exported_rungs: List[bytes] = []
     if mode == "jaxexport":
-        exported = jax_export.export(jax.jit(flat_fn))(*example_arrays)
-        exported_bytes = exported.serialize()
+        for b in batches:
+            arrays = tuple(b[k] for k in input_fields)
+            exported = jax_export.export(jax.jit(flat_fn))(*arrays)
+            exported_rungs.append(exported.serialize())
 
-    import jax as _jax
-
-    host_params = _jax.tree.map(lambda x: np.asarray(x), params)
+    host_params = jax.tree.map(lambda x: np.asarray(x), params)
     with zipfile.ZipFile(out_path, "w") as zf:
         zf.writestr("metadata.json", json.dumps(metadata, indent=2))
-        if exported_bytes is not None:
-            zf.writestr("exported.bin", exported_bytes)
+        for i, blob in enumerate(exported_rungs):
+            # rung 0 keeps the historical name so format-v1 readers load it
+            zf.writestr("exported.bin" if i == 0 else f"exported_{i}.bin", blob)
         zf.writestr(
             "model_config.json", json.dumps(getattr(model, "model_config", {}) or {})
         )
@@ -154,7 +178,13 @@ def save_compiled_model(
 
 
 class CompiledModel:
-    """Loaded inference artifact: callable on a padded host/device dict."""
+    """Loaded inference artifact: callable on a padded host/device dict.
+
+    Multi-rung artifacts (capacity ladder): ``select_capacities`` returns the
+    smallest rung that fits a system; ``__call__`` dispatches on the padded
+    input's node capacity, so callers pad to a rung and never trigger a
+    recompile.
+    """
 
     def __init__(self, path: str):
         import jax
@@ -162,18 +192,24 @@ class CompiledModel:
         self.path = path
         with zipfile.ZipFile(path) as zf:
             self.metadata = json.loads(zf.read("metadata.json"))
-            self._exported = None
-            if "exported.bin" in zf.namelist():
+            ladder = self.metadata.get(
+                "capacity_ladder", [self.metadata["capacities"]]
+            )
+            self._rungs = []  # [(caps, exported)]
+            names = zf.namelist()
+            for i, caps in enumerate(ladder):
+                fname = "exported.bin" if i == 0 else f"exported_{i}.bin"
+                if fname not in names:
+                    continue
                 from jax import export as jax_export
 
                 try:
-                    self._exported = jax_export.deserialize(
-                        bytearray(zf.read("exported.bin"))
-                    )
+                    exported = jax_export.deserialize(bytearray(zf.read(fname)))
                 except Exception:
-                    self._exported = None
+                    continue
+                self._rungs.append((caps, exported))
             self._model = None
-            if self._exported is None:
+            if not self._rungs:
                 from ..utils.config import instantiate
                 import jax.numpy as jnp
 
@@ -195,15 +231,45 @@ class CompiledModel:
 
     @property
     def capacities(self) -> Dict[str, int]:
-        return self.metadata["capacities"]
+        """Largest capacities the artifact accepts (top ladder rung)."""
+        if self._rungs:
+            return self._rungs[-1][0]
+        ladder = self.metadata.get("capacity_ladder")
+        return ladder[-1] if ladder else self.metadata["capacities"]
+
+    @property
+    def capacity_ladder(self) -> List[Dict[str, int]]:
+        if self._rungs:
+            return [c for c, _ in self._rungs]
+        return self.metadata.get("capacity_ladder", [self.metadata["capacities"]])
+
+    def select_capacities(self, n_nodes: int, n_edges: int) -> Optional[Dict[str, int]]:
+        """Smallest ladder rung that fits (None if even the top rung can't)."""
+        for caps in self.capacity_ladder:
+            if n_nodes <= caps["n_nodes"] and n_edges <= caps["n_edges"]:
+                return caps
+        return None
 
     def __call__(self, data: Dict) -> Dict:
         import jax.numpy as jnp
 
-        if self._exported is not None:
-            arrays = tuple(jnp.asarray(data[k]) for k in self.input_fields)
-            outs = self._exported.call(*arrays)
-            return dict(zip(self.output_fields, outs))
+        if self._rungs:
+            # _caps_of derives n_nodes from the first input field's leading
+            # dim (positions, or edge_vectors for the pair target) — match
+            # the rung on the same quantity
+            n = int(np.asarray(data[self.input_fields[0]]).shape[0])
+            for caps, exported in self._rungs:
+                if caps["n_nodes"] == n:
+                    arrays = tuple(
+                        jnp.asarray(data[k]) for k in self.input_fields
+                    )
+                    outs = exported.call(*arrays)
+                    return dict(zip(self.output_fields, outs))
+            raise ValueError(
+                f"padded input ({n} rows of {self.input_fields[0]}) matches no "
+                f"ladder rung {self.capacity_ladder}; pad to a rung from "
+                "select_capacities()"
+            )
         out = self._fwd({k: jnp.asarray(data[k]) for k in self.input_fields})
         return {k: out[k] for k in self.output_fields if k in out}
 
@@ -211,3 +277,134 @@ class CompiledModel:
 def load_compiled_model(path: str) -> CompiledModel:
     """Parity: ``load_compiled_model`` (``inference_models/compiled.py:14-60``)."""
     return CompiledModel(path)
+
+
+_REQUIRED_METADATA = {
+    "format_version": int,
+    "target": str,
+    "mode": str,
+    "input_fields": list,
+    "output_fields": list,
+    "capacities": dict,
+    "platform": str,
+    "r_max": str,
+    "type_names": str,
+    "model_dtype": str,
+}
+
+
+def validate_artifact(path: str) -> dict:
+    """Machine-checkable half of the artifact contract (docs/artifact_format.md).
+
+    Raises ``ValueError`` on any violation; returns the parsed metadata.
+    This is what an external consumer (C++ pair style, serving loader) can
+    rely on — the analog of the reference's AOTI metadata contract
+    (``/root/reference/nequip/utils/aoti_metadata.py``).
+    """
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        for member in ("metadata.json", "model_config.json", "params.pkl"):
+            if member not in names:
+                raise ValueError(f"artifact missing required member {member!r}")
+        md = json.loads(zf.read("metadata.json"))
+
+        for key, typ in _REQUIRED_METADATA.items():
+            if key not in md:
+                raise ValueError(f"metadata missing required key {key!r}")
+            if not isinstance(md[key], typ):
+                raise ValueError(
+                    f"metadata key {key!r} must be {typ.__name__}, "
+                    f"got {type(md[key]).__name__}"
+                )
+        if md["format_version"] > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format_version {md['format_version']} is newer than "
+                f"this reader ({FORMAT_VERSION})"
+            )
+        if md["target"] not in TARGET_INPUT_FIELDS:
+            raise ValueError(f"unknown target {md['target']!r}")
+        if not set(md["input_fields"]) <= set(TARGET_INPUT_FIELDS[md["target"]]):
+            raise ValueError(
+                f"input_fields {md['input_fields']} not a subset of the "
+                f"{md['target']!r} preset"
+            )
+        if not set(md["output_fields"]) <= set(TARGET_OUTPUT_FIELDS[md["target"]]):
+            raise ValueError(
+                f"output_fields {md['output_fields']} not a subset of the "
+                f"{md['target']!r} preset"
+            )
+
+        ladder = md.get("capacity_ladder", [md["capacities"]])
+        for caps in ladder:
+            for k in ("n_nodes", "n_edges", "n_frames"):
+                if not isinstance(caps.get(k), int) or caps[k] <= 0:
+                    raise ValueError(f"capacity rung {caps} has invalid {k!r}")
+        keyed = [(c["n_nodes"], c["n_edges"]) for c in ladder]
+        if keyed != sorted(keyed):
+            raise ValueError(f"capacity_ladder must be ascending, got {ladder}")
+        if ladder[0] != md["capacities"]:
+            raise ValueError("capacities must equal capacity_ladder[0]")
+
+        float(md["r_max"])  # parseable
+        if not md["type_names"].split():
+            raise ValueError("type_names must name at least one type")
+
+        if md["mode"] == "jaxexport":
+            from jax import export as jax_export
+
+            for i, caps in enumerate(ladder):
+                fname = "exported.bin" if i == 0 else f"exported_{i}.bin"
+                if fname not in names:
+                    raise ValueError(
+                        f"jaxexport artifact missing rung file {fname!r}"
+                    )
+                exported = jax_export.deserialize(bytearray(zf.read(fname)))
+                avals = list(exported.in_avals)
+                if len(avals) != len(md["input_fields"]):
+                    raise ValueError(
+                        f"rung {i}: exported arity {len(avals)} != "
+                        f"{len(md['input_fields'])} input_fields"
+                    )
+                # leading-dim check against the rung capacities per field kind
+                dim_of = {
+                    **{
+                        f: caps["n_nodes"]
+                        for f in (
+                            _keys.POSITIONS_KEY,
+                            _keys.ATOM_TYPE_KEY,
+                            _keys.BATCH_KEY,
+                            _keys.NODE_MASK_KEY,
+                        )
+                    },
+                    **{
+                        f: caps["n_edges"]
+                        for f in (
+                            _keys.EDGE_CELL_SHIFT_KEY,
+                            _keys.EDGE_MASK_KEY,
+                            _keys.EDGE_VECTORS_KEY,
+                        )
+                    },
+                    **{
+                        f: caps["n_frames"]
+                        for f in (
+                            _keys.CELL_KEY,
+                            _keys.NUM_NODES_KEY,
+                            _keys.FRAME_MASK_KEY,
+                        )
+                    },
+                }
+                for field, aval in zip(md["input_fields"], avals):
+                    if field == _keys.EDGE_INDEX_KEY:
+                        want = (2, caps["n_edges"])
+                        if tuple(aval.shape) != want:
+                            raise ValueError(
+                                f"rung {i}: {field} shape {aval.shape} != {want}"
+                            )
+                    elif field in dim_of and (
+                        not aval.shape or aval.shape[0] != dim_of[field]
+                    ):
+                        raise ValueError(
+                            f"rung {i}: {field} leading dim {aval.shape} "
+                            f"!= {dim_of[field]}"
+                        )
+    return md

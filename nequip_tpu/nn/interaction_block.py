@@ -299,8 +299,19 @@ class InteractionBlock(GraphModule):
         ``jax.grad`` of anything built on this sweep works — forward-mode
         AD machinery never enters a kernel.  Everything else in the block
         (linears, sc, norm, gate) is linear or pure XLA.
+
+        Diagnostic: ``NEQUIP_FR_ABLATE`` (comma list of ``tx``/``tsh``/
+        ``temb``) drops tangent terms for memory/time attribution runs
+        (``tools/train_memory.py``).  NOT for production — gradients are
+        wrong with any term ablated.
         """
+        import os as _os
+
         import jax.numpy as jnp
+
+        _ablate = set(
+            filter(None, _os.environ.get("NEQUIP_FR_ABLATE", "").split(","))
+        )
 
         x = data[_keys.NODE_FEATURES_KEY]
         tx = tangents.get(_keys.NODE_FEATURES_KEY)
@@ -373,11 +384,11 @@ class InteractionBlock(GraphModule):
 
             msg = K(x, sh)
             terms = []
-            if tx is not None:
+            if tx is not None and "tx" not in _ablate:
                 terms.append(K(tx, sh))
-            if tsh is not None:
+            if tsh is not None and "tsh" not in _ablate:
                 terms.append(K(x, tsh))
-            if temb is not None:
+            if temb is not None and "temb" not in _ablate:
                 _, dw = jax.jvp(
                     lambda e: self.edge_mlp(params["edge_mlp"], e), (emb,), (temb,)
                 )
@@ -400,11 +411,11 @@ class InteractionBlock(GraphModule):
 
             msg = K(x, sh, edge_weight)
             terms = []
-            if tx is not None:
+            if tx is not None and "tx" not in _ablate:
                 terms.append(K(tx, sh, edge_weight))
-            if tsh is not None:
+            if tsh is not None and "tsh" not in _ablate:
                 terms.append(K(x, tsh, edge_weight))
-            if temb is not None:
+            if temb is not None and "temb" not in _ablate:
                 _, dw = jax.jvp(
                     lambda e: self.edge_mlp(params["edge_mlp"], e), (emb,), (temb,)
                 )

@@ -36,6 +36,17 @@ def main(argv=None) -> None:
     parser.add_argument("--num-edges", type=int, default=None, help="edge capacity")
     parser.add_argument("--num-frames", type=int, default=2, help="frame capacity")
     parser.add_argument(
+        "--capacity-ladder", type=int, default=1, metavar="N",
+        help="export N ascending capacity rungs (base capacity x factor^k); "
+        "the calculator pads each system to the smallest rung that fits, so "
+        "variable-N simulations (e.g. NPT) never need a re-export — the "
+        "static-shape closure of the reference's dynamic-dim bounds",
+    )
+    parser.add_argument(
+        "--ladder-factor", type=float, default=1.5,
+        help="capacity growth factor between ladder rungs",
+    )
+    parser.add_argument(
         "--modifiers", nargs="*", default=[], help="named model modifiers to apply"
     )
     parser.add_argument("--no-check", action="store_true", help="skip the numeric self-check")
@@ -65,18 +76,35 @@ def main(argv=None) -> None:
         example = {k: np.asarray(v) for k, v in example.items()}
         n_nodes = args.num_nodes or example[_keys.POSITIONS_KEY].shape[0]
         n_edges = args.num_edges or example[_keys.EDGE_INDEX_KEY].shape[1]
-        if (
-            n_nodes != example[_keys.POSITIONS_KEY].shape[0]
-            or n_edges != example[_keys.EDGE_INDEX_KEY].shape[1]
-        ):
-            from ..data.atomic_data_dict import frame_from_batched
 
-            frame = frame_from_batched(example, 0)
-            example = pad_batch(frame, n_nodes, n_edges, args.num_frames)
-        example = {k: np.asarray(v) for k, v in to_device(example).items()}
+        from ..data import round_up
+        from ..data.atomic_data_dict import frame_from_batched
+
+        frame = frame_from_batched(example, 0)
+        examples = []
+        for k in range(max(1, args.capacity_ladder)):
+            if k == 0:
+                # rung 0 = the exact requested/base capacity (single-rung
+                # exports behave exactly as before the ladder existed)
+                nn, ne = n_nodes, n_edges
+            else:
+                f = args.ladder_factor**k
+                nn = round_up(int(np.ceil(n_nodes * f)), 128)
+                ne = round_up(int(np.ceil(n_edges * f)), 256)
+            batch = (
+                example
+                if (nn == example[_keys.POSITIONS_KEY].shape[0]
+                    and ne == example[_keys.EDGE_INDEX_KEY].shape[1])
+                else pad_batch(frame, nn, ne, args.num_frames)
+            )
+            examples.append(
+                {k2: np.asarray(v) for k2, v in to_device(batch).items()}
+            )
+        example = examples[0]
 
         meta = save_compiled_model(
-            args.output_path, model, params, example,
+            args.output_path, model, params,
+            examples if len(examples) > 1 else example,
             target=args.target, mode=args.mode,
         )
         log.info(f"wrote {args.output_path}")
@@ -85,6 +113,11 @@ def main(argv=None) -> None:
         if not args.no_check:
             import jax
 
+            from ..model.inference_models import validate_artifact
+
+            # conformance first: the artifact must satisfy the documented
+            # contract (docs/artifact_format.md) before the numeric check
+            validate_artifact(args.output_path)
             compiled = load_compiled_model(args.output_path)
             out_c = compiled(example)
             out_e = model(params, {k: example[k] for k in compiled.input_fields})

@@ -81,7 +81,10 @@ class Trainer:
     def set_loss_coeffs(self, coeffs: Dict[str, float]) -> None:
         mgr: MetricsManager = self.module.loss
         total = sum(coeffs.values())
-        vec = np.asarray(self._loss_coeffs)
+        # np.array (copy): np.asarray of a jax array is a READ-ONLY view of
+        # device memory — writing into it raised at the first SoftAdapt
+        # update of a real run (r4 regression: test_set_loss_coeffs_runtime)
+        vec = np.array(self._loss_coeffs)
         for i, e in enumerate(mgr.entries):
             if e["name"] in coeffs:
                 vec[i] = coeffs[e["name"]] / total if total else 0.0

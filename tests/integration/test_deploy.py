@@ -402,3 +402,73 @@ def test_package_durability(ckpt, tmp_path):
             dst.writestr(zi.filename, data)
     with pytest.raises(RuntimeError, match="extract-code"):
         ModelFromPackage(drift)
+
+
+def test_capacity_ladder_export(ckpt, tmp_path):
+    """A growing system crosses a capacity rung without re-export.
+
+    The ladder is the static-shape closure of the reference's
+    bounded-dynamic export (``/root/reference/nequip/scripts/compile.py:266-270``):
+    multiple AOT signatures in one artifact, the calculator picks the
+    smallest rung that fits.
+    """
+    from nequip_tpu.scripts.compile import main as compile_main
+    from nequip_tpu.integrations import NequIPCalculator
+    from nequip_tpu.model.inference_models import load_compiled_model
+
+    path, _ = ckpt
+    artifact = str(tmp_path / "ladder.nequip_tpu.zip")
+    compile_main([path, artifact, "--target", "ase", "--capacity-ladder", "3"])
+
+    compiled = load_compiled_model(artifact)
+    ladder = compiled.capacity_ladder
+    assert len(ladder) == 3
+    assert [c["n_nodes"] for c in ladder] == sorted(c["n_nodes"] for c in ladder)
+
+    calc = NequIPCalculator.from_compiled_model(artifact, chemical_symbols=["Cu"])
+    calc_eager = NequIPCalculator.from_saved_model(path, chemical_symbols=["Cu"])
+
+    def fcc_frame(reps: int) -> dict:
+        a = 3.61
+        base = (
+            np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a
+        )
+        rng = np.random.RandomState(7)
+        pos = np.concatenate(
+            [
+                base + np.array([i, j, k]) * a
+                for i in range(reps)
+                for j in range(reps)
+                for k in range(reps)
+            ]
+        )
+        pos = pos + rng.normal(0, 0.03, pos.shape)
+        return {
+            _keys.POSITIONS_KEY: pos,
+            _keys.CELL_KEY: np.diag([reps * a] * 3),
+            _keys.PBC_KEY: np.array([True] * 3),
+            _keys.ATOMIC_NUMBERS_KEY: np.full(len(pos), 29),
+        }
+
+    # a small frame fits rung 0; a 108-atom frame outgrows rung 0's EDGE
+    # capacity (~18 edges/atom at r_max=4) and must walk up the ladder
+    small, big = fcc_frame(2), fcc_frame(3)
+    n_small = len(small[_keys.POSITIONS_KEY])
+    n_big = len(big[_keys.POSITIONS_KEY])
+    rung_small = compiled.select_capacities(n_small, 18 * n_small)
+    rung_big = compiled.select_capacities(n_big, 18 * n_big)
+    assert rung_small == ladder[0]
+    assert rung_big is not None and rung_big != ladder[0], (
+        f"expected the {n_big}-atom frame to cross a rung: {ladder}"
+    )
+
+    for frame, n in ((small, n_small), (big, n_big)):
+        res = calc.calculate(frame)
+        res_e = calc_eager.calculate(frame)
+        assert res["forces"].shape == (n, 3)
+        np.testing.assert_allclose(res["energy"], res_e["energy"], rtol=1e-8)
+        np.testing.assert_allclose(res["forces"], res_e["forces"], atol=1e-8)
+
+    # beyond the top rung: a clear, actionable error (no silent truncation)
+    with pytest.raises(ValueError, match="capacity rung"):
+        calc.calculate(fcc_frame(6))
