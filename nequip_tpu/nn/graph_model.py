@@ -34,6 +34,33 @@ _ALWAYS_INPUT_FIELDS = (
 )
 
 
+def _walk_uses_pallas(module, _seen=None) -> bool:
+    """True when any (recursively reachable) submodule selects the Pallas
+    TP-scatter kernels — the signal that the edge stream should be
+    pre-laid-out at the model boundary."""
+    _seen = set() if _seen is None else _seen
+    if id(module) in _seen:
+        return False
+    _seen.add(id(module))
+    if getattr(module, "impl", None) in ("pallas", "pallas_fused"):
+        return True
+    children = []
+    if isinstance(module, GraphModule):
+        children = list(vars(module).values())
+    for v in children:
+        if isinstance(v, dict):
+            vs = v.values()
+        elif isinstance(v, (list, tuple)):
+            vs = v
+        else:
+            vs = (v,)
+        for c in vs:
+            if isinstance(c, GraphModule) or hasattr(c, "impl"):
+                if _walk_uses_pallas(c, _seen):
+                    return True
+    return False
+
+
 class GraphModel(GraphModule):
     def __init__(
         self,
@@ -56,6 +83,13 @@ class GraphModel(GraphModule):
         self.input_fields = tuple(
             dict.fromkeys(list(_ALWAYS_INPUT_FIELDS) + list(model.irreps_in.keys()))
         )
+        # pre-lay-out the edge stream at the model boundary whenever any
+        # interaction layer runs the Pallas kernel family: per-edge tensors
+        # (SH, radial embedding, radial weights) are then computed directly
+        # in kernel slot order and every take_idx-keyed gather/scatter
+        # inside the kernels collapses away (ops/pallas/tp_scatter.py
+        # relayout_edge_stream)
+        self.uses_pallas_kernels = _walk_uses_pallas(model)
 
     @property
     def metadata(self) -> Dict[str, str]:
@@ -92,6 +126,10 @@ class GraphModel(GraphModule):
         inputs.update(
             {k: v for k, v in data.items() if k.startswith("__edge_layout_")}
         )
+        if self.uses_pallas_kernels:
+            from ..ops.pallas.tp_scatter import relayout_edge_stream
+
+            inputs = relayout_edge_stream(inputs)
         return self.model(params, inputs)
 
     def __repr__(self):

@@ -394,8 +394,140 @@ def _assert_fingerprint(fp_now, fp_layout):
         )
 
 
+def relayout_edge_stream(data, rows: int = None, block_e: int = None):
+    """Rewrite the per-edge stream into kernel layout-slot order.
+
+    Permutes ``edge_index`` / ``edge_mask`` / ``edge_cell_shift`` into the
+    dst-sorted tile-aligned slot order (length ``E_pal >= E``) and attaches
+    the IDENTITY layout (``take_idx is None``) under ``layout_key()``.  Every
+    per-edge tensor computed downstream (SH, radial embedding, radial
+    weights) is then *born* in kernel layout order, so the take_idx-keyed
+    gathers in ``_forward``/``_backward_kernel_call``/``_layout_and_gather``
+    and the ``dy``/``dw`` scatter-backs collapse away entirely.  Measured on
+    the v5e tunnel (tools/gather_microbench.py, r4): XLA row gathers run at
+    27-41 GB/s against a 400 GB/s stream ceiling — each elided [E, 352]
+    radial-weight gather is ~15 ms at 23k atoms.
+
+    Masking moves into the layout: ``rel_dst`` is -1 for masked AND padding
+    slots (the one-hot scatter row vanishes, and the backward's ``ge`` —
+    hence dx/dy/dw — is exactly zero there), so the kernels also skip their
+    defensive ``where`` copies.  This is sound because the padding contract
+    (``nn/embedding/edge.py`` head comment) guarantees finite per-edge
+    inputs and exactly-zero radial weights at masked slots.
+
+    No-op (returns ``data`` unchanged) when: no edge_index; node capacity is
+    not tile-aligned (kernels fall back to XLA); derived per-edge tensors
+    are already present (pair-style passes ``edge_vectors``); or the stream
+    is already relaid.  Jittable; safe to call per step (when a precomputed
+    layout rides along, the residual cost is the small int/shift takes).
+
+    Parity note: the reference's OEQ/cuEq wrappers keep torch's COO edge
+    order and pay scatter_sum on every call
+    (``/root/reference/nequip/nn/_tp_scatter_oeq.py``); re-laying the edge
+    stream once per neighborlist build is the TPU-first replacement.
+    """
+    from ...data import _keys  # local import: ops must stay data-agnostic
+
+    rows = DEFAULT_ROWS if rows is None else rows
+    block_e = DEFAULT_BLOCK_E if block_e is None else block_e
+    if _os.environ.get("NEQUIP_RELAYOUT", "1") != "1":
+        return data  # A/B kill switch
+    if _keys.EDGE_INDEX_KEY not in data:
+        return data
+    lay = data.get(layout_key(rows, block_e))
+    if isinstance(lay, dict) and lay.get("take_idx", 0) is None:
+        return data  # already relaid
+    for k in (
+        _keys.EDGE_VECTORS_KEY,
+        _keys.EDGE_LENGTH_KEY,
+        _keys.EDGE_ATTRS_KEY,
+        _keys.EDGE_EMBEDDING_KEY,
+        _keys.EDGE_TRANSPOSE_PERM_KEY,
+    ):
+        if k in data:
+            return data
+    if _keys.POSITIONS_KEY in data:
+        num_nodes = data[_keys.POSITIONS_KEY].shape[0]
+    elif _keys.NODE_MASK_KEY in data:
+        num_nodes = data[_keys.NODE_MASK_KEY].shape[0]
+    else:
+        return data
+    if num_nodes % rows != 0:
+        return data
+
+    edge_index = data[_keys.EDGE_INDEX_KEY]
+    edge_dst, edge_src = edge_index[0], edge_index[1]
+    edge_mask = data.get(_keys.EDGE_MASK_KEY)
+    em = edge_mask if edge_mask is not None else jnp.ones_like(edge_dst, dtype=bool)
+    if lay is not None:
+        take_idx, rel_dst, chunk_tile, chunk_first, valid = (
+            lay["take_idx"], lay["rel_dst"], lay["chunk_tile"],
+            lay["chunk_first"], lay["valid"],
+        )
+    else:
+        take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges(
+            edge_dst, edge_src, em, num_nodes, rows, block_e
+        )
+    E = edge_dst.shape[0]
+    safe = jnp.minimum(take_idx, E - 1)
+    wmask = valid & _take_ib(em, safe)
+
+    out = dict(data)
+    ei_lay = _take_ib(edge_index, safe, axis=1)
+    # PADDING slots (no underlying edge) become inert self-edges on the LAST
+    # node of their chunk's tile: padding sits at the end of each tile's slot
+    # run, so the new dst stream stays globally non-decreasing and any
+    # further in-graph layout pass on it (e.g. the MLP-fused backward's
+    # re-chunk at bwd_block_e) rides the cheap sortedness fast path instead
+    # of a full argsort.  MASKED real edges keep their indices (they were
+    # placed by them) — the mask itself neutralizes them everywhere.
+    E_pal = take_idx.shape[0]
+    pad_node = (jnp.repeat(chunk_tile, block_e) + 1) * rows - 1
+    out[_keys.EDGE_INDEX_KEY] = jnp.where(valid[None, :], ei_lay, pad_node[None, :])
+    out[_keys.EDGE_MASK_KEY] = wmask
+    if _keys.EDGE_CELL_SHIFT_KEY in data:
+        shifts = _take_ib(data[_keys.EDGE_CELL_SHIFT_KEY], safe, axis=0)
+        out[_keys.EDGE_CELL_SHIFT_KEY] = jnp.where(
+            valid[:, None], shifts, jnp.zeros_like(shifts)
+        )
+    new_dst = out[_keys.EDGE_INDEX_KEY][0]
+    new_src = out[_keys.EDGE_INDEX_KEY][1]
+    idlay = {
+        "take_idx": None,  # static identity marker (None = empty pytree)
+        "rel_dst": jnp.where(wmask, rel_dst, -1).astype(jnp.int32),
+        "chunk_tile": chunk_tile,
+        "chunk_first": chunk_first,
+        "valid": wmask,
+        "fingerprint": _edge_fingerprint(new_dst, wmask),
+        # source-keyed sub-layout for the backward's dx row-scatter; a
+        # precomputed layout's "dx" was built from src_lay == new_src, so it
+        # is exactly the needed sub-layout — reuse it (MD drivers amortize
+        # the src argsort per neighborlist rebuild)
+        "dx": (
+            lay["dx"]
+            if isinstance(lay, dict) and "dx" in lay
+            else compute_edge_layout(new_src, new_src, wmask, num_nodes, rows, block_e)
+        ),
+    }
+    out[layout_key(rows, block_e)] = idlay
+    be = bwd_block_e(block_e)
+    if be != block_e:
+        # the MLP-fused backward re-chunks at a smaller block: a real (near-
+        # identity) layout of the NEW stream; its take_idx-keyed arrays are
+        # the small ones (sh [E,9], emb [E,n_emb])
+        out[layout_key(rows, be)] = compute_edge_layout(
+            new_dst, new_src, wmask, num_nodes, rows, be, with_dx=True
+        )
+    return out
+
+
 def _resolve_layout(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout):
-    """Unpack a precomputed layout dict, or compute one in-graph."""
+    """Unpack a precomputed layout dict, or compute one in-graph.
+
+    Returns ``take_idx is None`` for an identity (pre-relaid) stream — see
+    ``relayout_edge_stream``; callers then skip every take_idx-keyed
+    gather/scatter and use ``rel_dst``/``valid`` as-is (mask pre-folded).
+    """
     if layout is not None:
         if (
             _os.environ.get("NEQUIP_PALLAS_CHECK_LAYOUT", "0") == "1"
@@ -532,19 +664,26 @@ def _forward(
     take_idx, rel_dst, chunk_tile, chunk_first, valid = _resolve_layout(
         edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout
     )
-    E_pal = take_idx.shape[0]
+    if take_idx is None:
+        # identity (pre-relaid) stream: per-edge inputs already sit in slot
+        # order, mask folded into rel_dst (-1 rows scatter nothing) — no
+        # gathers, no defensive where-copies
+        E_pal = edge_dst.shape[0]
+        x_lay = _take_ib(x, edge_src, axis=0)
+        y_lay, w_lay = edge_attr, edge_weight
+    else:
+        E_pal = take_idx.shape[0]
+        safe_idx = jnp.minimum(take_idx, E - 1)
+        src_lay = _take_ib(edge_src, safe_idx)
+        x_lay = _take_ib(x, src_lay, axis=0)
+        y_lay = _take_ib(edge_attr, safe_idx, axis=0)
+        w_lay = _take_ib(edge_weight, safe_idx, axis=0)
+        wmask = valid
+        if edge_mask is not None:
+            wmask = wmask & _take_ib(edge_mask, safe_idx)
+        # zero radial weights kill every path's message for masked/padding slots
+        w_lay = jnp.where(wmask[:, None], w_lay, 0)
     G = E_pal // block_e
-
-    safe_idx = jnp.minimum(take_idx, E - 1)
-    src_lay = _take_ib(edge_src, safe_idx)
-    x_lay = _take_ib(x, src_lay, axis=0)
-    y_lay = _take_ib(edge_attr, safe_idx, axis=0)
-    w_lay = _take_ib(edge_weight, safe_idx, axis=0)
-    wmask = valid
-    if edge_mask is not None:
-        wmask = wmask & _take_ib(edge_mask, safe_idx)
-    # zero radial weights kill every path's message for masked/padding slots
-    w_lay = jnp.where(wmask[:, None], w_lay, 0)
     rel_2d = rel_dst.reshape(E_pal, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -764,18 +903,27 @@ def _backward_kernel_call(
         edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout
     )
     E = edge_dst.shape[0]
-    E_pal = take_idx.shape[0]
+    if take_idx is None:
+        # identity (pre-relaid) stream: ge is exactly zero at masked/padding
+        # slots (rel_dst == -1 zeroes the one-hot row), so dx/dy/dw vanish
+        # there analytically — no gathers in, no scatter-backs out
+        E_pal = E
+        src_lay = edge_src
+        x_lay = _take_ib(x, edge_src, axis=0)
+        y_lay, w_lay = edge_attr, edge_weight
+        wmask = valid
+    else:
+        E_pal = take_idx.shape[0]
+        safe_idx = jnp.minimum(take_idx, E - 1)
+        src_lay = _take_ib(edge_src, safe_idx)
+        x_lay = _take_ib(x, src_lay, axis=0)
+        y_lay = _take_ib(edge_attr, safe_idx, axis=0)
+        w_lay = _take_ib(edge_weight, safe_idx, axis=0)
+        wmask = valid
+        if edge_mask is not None:
+            wmask = wmask & _take_ib(edge_mask, safe_idx)
+        w_lay = jnp.where(wmask[:, None], w_lay, 0)
     G = E_pal // block_e
-
-    safe_idx = jnp.minimum(take_idx, E - 1)
-    src_lay = _take_ib(edge_src, safe_idx)
-    x_lay = _take_ib(x, src_lay, axis=0)
-    y_lay = _take_ib(edge_attr, safe_idx, axis=0)
-    w_lay = _take_ib(edge_weight, safe_idx, axis=0)
-    wmask = valid
-    if edge_mask is not None:
-        wmask = wmask & _take_ib(edge_mask, safe_idx)
-    w_lay = jnp.where(wmask[:, None], w_lay, 0)
     rel_2d = rel_dst.reshape(E_pal, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -816,8 +964,12 @@ def _backward_kernel_call(
     )(chunk_tile, chunk_first, x_lay, y_lay, w_lay, rel_2d, g)
 
     # dx: scatter back over source nodes (masked slots contribute zero since
-    # their radial weights were zeroed)
+    # their ge rows are zero)
     dx = _dx_scatter(dx_lay, src_lay, wmask, num_nodes, rows, block_e, layout)
+    if take_idx is None:
+        # identity stream: per-edge cotangents are already in slot order and
+        # exactly zero at masked/padding slots (ge == 0 there)
+        return dx, dy_lay, dw_lay
     # dy/dw: map layout slots back to the original edge order; padding slots
     # (take_idx == E) are dropped
     dy = jnp.zeros_like(edge_attr).at[take_idx].set(dy_lay, mode="drop")
@@ -1105,6 +1257,10 @@ def _layout_and_gather(tp_plan, x, edge_attr, edge_dst, edge_src, edge_mask,
     take_idx, rel_dst, chunk_tile, chunk_first, valid = _resolve_layout(
         edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout
     )
+    if take_idx is None:
+        # identity (pre-relaid) stream — see relayout_edge_stream
+        return (None, None, edge_src, _take_ib(x, edge_src, axis=0),
+                edge_attr, valid, rel_dst, chunk_tile, chunk_first)
     E = edge_dst.shape[0]
     E_pal = take_idx.shape[0]
     safe_idx = jnp.minimum(take_idx, E - 1)
@@ -1194,12 +1350,17 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
             plan, x, edge_attr, edge_dst, edge_src,
             edge_mask if has_mask else None, num_nodes, rows, block_e,
             layout=lay_f)
-        E_pal = take_idx.shape[0]
+        if take_idx is None:
+            # identity stream: embeddings are exactly zero at masked slots by
+            # the padding contract, and rel_dst == -1 kills their scatter row
+            emb_lay = edge_embed
+        else:
+            emb_lay = _take_ib(edge_embed, safe_idx, axis=0)
+            # zero embeddings of masked/padding slots: bias-free silu MLP then
+            # produces exactly-zero weights, killing every path's message
+            emb_lay = jnp.where(wmask[:, None], emb_lay, 0)
+        E_pal = emb_lay.shape[0]
         G = E_pal // block_e
-        emb_lay = _take_ib(edge_embed, safe_idx, axis=0)
-        # zero embeddings of masked/padding slots: bias-free silu MLP then
-        # produces exactly-zero weights, killing every path's message
-        emb_lay = jnp.where(wmask[:, None], emb_lay, 0)
         rel_2d = rel_dst.reshape(E_pal, 1)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1264,10 +1425,13 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
             plan, x, edge_attr, edge_dst, edge_src,
             edge_mask if has_mask else None, num_nodes, rows, be,
             layout=lay_b)
-        E_pal = take_idx.shape[0]
+        if take_idx is None:
+            emb_lay = edge_embed
+        else:
+            emb_lay = _take_ib(edge_embed, safe_idx, axis=0)
+            emb_lay = jnp.where(wmask[:, None], emb_lay, 0)
+        E_pal = emb_lay.shape[0]
         G = E_pal // be
-        emb_lay = _take_ib(edge_embed, safe_idx, axis=0)
-        emb_lay = jnp.where(wmask[:, None], emb_lay, 0)
         rel_2d = rel_dst.reshape(E_pal, 1)
         mask_f = wmask.astype(x.dtype).reshape(E_pal, 1)
 
@@ -1331,6 +1495,10 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
         )
 
         dx = _dx_scatter(dx_lay, src_lay, wmask, num_nodes, rows, be, lay_b)
+        if take_idx is None:
+            # identity stream: cotangents already in slot order, exactly zero
+            # at masked/padding slots (ge == 0 there)
+            return dx, dy_lay, demb_lay, dw1.astype(w1.dtype), dw2.astype(w2.dtype)
         E = edge_dst.shape[0]
         dy = jnp.zeros_like(edge_attr).at[take_idx].set(
             jnp.where(wmask[:, None], dy_lay, 0), mode="drop"

@@ -408,6 +408,12 @@ class NequIPTrainModule:
             inputs.update(
                 {k: v for k, v in batch.items() if k.startswith("__edge_layout_")}
             )
+            if getattr(model, "uses_pallas_kernels", False):
+                # the surrogate pass bypasses GraphModel.__call__ — pre-lay-
+                # out the edge stream here too (XLA CSEs it with pass 1's)
+                from ..ops.pallas.tp_scatter import relayout_edge_stream
+
+                inputs = relayout_edge_stream(inputs)
             grads = jax.grad(
                 lambda p: fso.loss_surrogate(p, inputs, v)
             )(state.params)

@@ -54,11 +54,13 @@ def pallas_row_gather(src, idx, block_e: int = 512, n_buf: int = 16):
     src1 = src.reshape(-1)
 
     def kernel(idx_ref, src_ref, out_ref):
+        # idx_ref: [1, block_e] int32 in SMEM (blocked per grid step — the
+        # full index array is 1.7 MB at 430k rows, over the 1 MB SMEM budget
+        # that sank the scalar-prefetch version; 1D SMEM blocks must tile at
+        # 1024 so it rides as a 2D (G, block_e) view)
         def body(sem):
             def get_dma(i):
-                # row idx_ref[g*block_e + i] of src -> row i of the out block
-                g = pl.program_id(0)
-                row = idx_ref[g * block_e + i]
+                row = idx_ref[0, 0, i]
                 return pltpu.make_async_copy(
                     src_ref.at[pl.ds(row * Dp, Dp)],
                     out_ref.at[pl.ds(i * Dp, Dp)],
@@ -81,18 +83,17 @@ def pallas_row_gather(src, idx, block_e: int = 512, n_buf: int = 16):
 
         pl.run_scoped(body, pltpu.SemaphoreType.DMA((n_buf,)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((block_e * Dp,), lambda g, idx: (g,)),
-    )
     out = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_e), lambda g: (g, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((block_e * Dp,), lambda g: (g,)),
         out_shape=jax.ShapeDtypeStruct((E_pal * Dp,), src.dtype),
         interpret=(jax.default_backend() == "cpu"),
-    )(idx_pal, src1)
+    )(idx_pal.reshape(G, 1, block_e), src1)
     return out.reshape(E_pal, Dp)[:E, :D]
 
 
