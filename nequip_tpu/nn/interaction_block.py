@@ -225,6 +225,49 @@ class InteractionBlock(GraphModule):
             # weights (weight_norm/...) must go through the MLP itself
             and self.edge_mlp.parametrization is None
         )
+
+        # NEQUIP_FR_EDGE_CHUNKS also chunks the PRIMAL conv: the fr train
+        # step's pass 1 (E+F through the ordinary reverse force sweep) has
+        # the same per-layer [E, *] backward window as the dual sweep and
+        # would otherwise cap the memory win (tp_scatter.py chunked_conv).
+        # Opt-in via env: inference paths don't set it and keep the
+        # fully-fused single-pass kernels.
+        import os as _os
+
+        n_chunks = int(_os.environ.get("NEQUIP_FR_EDGE_CHUNKS", "0") or 0)
+        if n_chunks > 1 and self.tp_scatter.impl in ("pallas", "pallas_fused"):
+            from ..ops.pallas.tp_scatter import (
+                DEFAULT_BLOCK_E,
+                DEFAULT_ROWS,
+                chunked_conv,
+                layout_key,
+            )
+
+            layout = data.get(layout_key())
+            sh = data[_keys.EDGE_ATTRS_KEY]
+            E_pal = sh.shape[0]
+            G = E_pal // DEFAULT_BLOCK_E
+            if (
+                isinstance(layout, dict)
+                and layout.get("take_idx", 0) is None
+                and num_nodes % DEFAULT_ROWS == 0
+                and E_pal % DEFAULT_BLOCK_E == 0
+                and G % n_chunks == 0
+            ):
+                msg = chunked_conv(
+                    self.tp_scatter.tp, self.edge_mlp, params["edge_mlp"],
+                    x, sh, data[_keys.EDGE_EMBEDDING_KEY],
+                    data[_keys.EDGE_INDEX_KEY][1], layout, num_nodes, n_chunks,
+                )
+                from jax.ad_checkpoint import checkpoint_name
+
+                msg = checkpoint_name(msg, "conv_tp_out")
+                msg = self.linear_2(params["linear_2"], self._merge_mid(msg))
+                if self.sc is not None:
+                    msg = msg + sc
+                data[_keys.NODE_FEATURES_KEY] = msg
+                return data
+
         if use_fully_fused:
             # radial MLP fused into the kernel: the [E, weight_numel] radial
             # weights never materialize in HBM
@@ -370,6 +413,52 @@ class InteractionBlock(GraphModule):
 
             layout = data.get(layout_key())
             layouts = (layout, data.get(layout_key(block_e=bwd_block_e())))
+
+        # edge-chunked dual sweep (NEQUIP_FR_EDGE_CHUNKS=C): scan the four
+        # kernel terms over C slices of the relaid edge stream so the
+        # per-layer backward window's [E, *] transients shrink to 1/C —
+        # what lets 100k-atom f32 force training fit single-chip HBM
+        # (ops/pallas/tp_scatter.py chunked_jvp_conv).  Requires the
+        # identity layout (GraphModel relayout) and a chunk-divisible
+        # stream; silently falls back to the unchunked sweep otherwise.
+        n_chunks = int(_os.environ.get("NEQUIP_FR_EDGE_CHUNKS", "0") or 0)
+        if (
+            n_chunks > 1
+            and tx is not None
+            and tsh is not None
+            and temb is not None
+            and isinstance(layout, dict)
+            and layout.get("take_idx", 0) is None
+        ):
+            from ..ops.pallas.tp_scatter import (
+                DEFAULT_BLOCK_E,
+                DEFAULT_ROWS,
+                chunked_jvp_conv,
+            )
+
+            E_pal = sh.shape[0]
+            G = E_pal // DEFAULT_BLOCK_E
+            if (
+                num_nodes % DEFAULT_ROWS == 0
+                and E_pal % DEFAULT_BLOCK_E == 0
+                and G % n_chunks == 0
+            ):
+                msg, tmsg = chunked_jvp_conv(
+                    self.tp_scatter.tp, self.edge_mlp, params["edge_mlp"],
+                    x, tx, sh, tsh, emb, temb, edge_src, layout,
+                    num_nodes, n_chunks,
+                )
+                x_out = self.linear_2(params["linear_2"], self._merge_mid(msg))
+                tx_out = self.linear_2(params["linear_2"], self._merge_mid(tmsg))
+                if self.sc is not None:
+                    x_out = x_out + sc
+                    if t_sc is not None:
+                        tx_out = tx_out + t_sc
+                out = dict(data)
+                out[_keys.NODE_FEATURES_KEY] = x_out
+                t_out = dict(tangents)
+                t_out[_keys.NODE_FEATURES_KEY] = tx_out
+                return out, t_out
 
         if use_fully_fused:
             from ..ops.pallas.tp_scatter import fused_tp_scatter_mlp
