@@ -129,7 +129,7 @@ def _train_flop_ratio(dtype: str, fgm: str = "rr") -> float:
 
 
 def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf32=False,
-             fgm=None):
+             fgm=None, fr_chunks=None):
     """One measurement with retries: the tunneled chip is multi-tenant and
     surfaces transient RESOURCE_EXHAUSTED when another tenant holds HBM;
     returns a dict or {'error': ...} after the retries (a real OOM fails
@@ -142,7 +142,9 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
         fgm = os.environ.get("NEQUIP_BENCH_FORCE_GRAD", "rr")
     attempts_left = 2
     while attempts_left > 0:
-        last = _run_case_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm)
+        last = _run_case_once(
+            n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm, fr_chunks
+        )
         err = last.get("error", "")
         # tpu_compile_helper exit 1 / HTTP 500 through the tunnel is either a
         # transient backend failure or a compile-time memory blowup at >50k —
@@ -175,6 +177,13 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
             nxt = {False: "save_tp", "save_tp": True}.get(remat)
             if nxt is not None:
                 remat = nxt
+                continue
+            # final rung: edge-chunked fr sweeps (scan over stream slices,
+            # tp_scatter.py chunked_jvp_conv) — 6.0 -> 2.7 GiB at 23k f32,
+            # the only policy whose 100k f32 train step fits 16 GB HBM
+            if mode == "train" and fgm == "fr" and not fr_chunks:
+                fr_chunks = 8
+                remat = "save_tp"
                 continue
         attempts_left -= 1
         if attempts_left:
@@ -355,13 +364,18 @@ def _run_md_case(n_atoms, tp_impl, dtype, n_md_steps):
 
 def _run_case_once(
     n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf32=False,
-    fgm="rr",
+    fgm="rr", fr_chunks=None,
 ):
     import jax
 
     from nequip_tpu.utils.global_state import set_tf32
 
     set_tf32(bool(tf32))
+    if fr_chunks:
+        # edge-chunked fr sweep (trace-time env gate, see interaction_block.py)
+        os.environ["NEQUIP_FR_EDGE_CHUNKS"] = str(int(fr_chunks))
+    elif fr_chunks == 0:
+        os.environ.pop("NEQUIP_FR_EDGE_CHUNKS", None)
 
     from __graft_entry__ import _example_model_and_batch
     from nequip_tpu.data import _keys
@@ -449,6 +463,12 @@ def _run_case_once(
             "dtype": dtype,
             "tf32": bool(tf32),
             **({"force_grad": fgm} if mode == "train" else {}),
+            **(
+                {"fr_chunks": int(fr_chunks or os.environ.get("NEQUIP_FR_EDGE_CHUNKS", 0))}
+                if mode == "train"
+                and (fr_chunks or os.environ.get("NEQUIP_FR_EDGE_CHUNKS"))
+                else {}
+            ),
             "remat": (
                 remat
                 if remat is not None
@@ -474,20 +494,21 @@ def _run_case_once(
 _CASE_MARK = "===CASE_JSON==="
 
 
-def _run_case_guarded(atoms, mode, impl, dtype, steps, remat, tf32, fgm, timeout_s):
+def _run_case_guarded(atoms, mode, impl, dtype, steps, remat, tf32, fgm, timeout_s,
+                      fr_chunks=None):
     """run_case in a child process with a hard timeout (hang-proof)."""
     import subprocess
     import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
-    payload = json.dumps([atoms, mode, impl, dtype, steps, remat, tf32, fgm])
+    payload = json.dumps([atoms, mode, impl, dtype, steps, remat, tf32, fgm, fr_chunks])
     code = (
         "import json, sys\n"
         f"sys.path.insert(0, {here!r})\n"
         "import bench\n"
         f"a = json.loads({payload!r})\n"
         "r = bench.run_case(a[0], a[1], a[2], a[3], a[4],"
-        " remat=a[5], tf32=a[6], fgm=a[7])\n"
+        " remat=a[5], tf32=a[6], fgm=a[7], fr_chunks=a[8])\n"
         f"print({_CASE_MARK!r} + json.dumps(r), flush=True)\n"
     )
     base = {"atoms": atoms, "mode": mode, "tp_impl": impl, "dtype": dtype}
@@ -700,6 +721,11 @@ def main():
         # at every policy), so the 100k train row is bf16 by construction
         (100000, "train", "pallas_fused", "bfloat16", 2, "save_tp", False, "fr", "big"),
         (23000, "md", "pallas_fused", dtype, n_steps, False, False, None, "mid"),
+        # 100k f32 TRAIN — newly possible in r4: the edge-chunked fr sweep
+        # (NEQUIP_FR_EDGE_CHUNKS, tp_scatter.py chunked_jvp_conv) cuts the
+        # dual-sweep window to slice size; compile-only probes put the step
+        # well under the 16 GB chip where every unchunked policy needed ~27
+        (100000, "train", "pallas_fused", dtype, 2, "save_tp", True, "fr", "big"),
         (100000, "infer", "pallas_fused", dtype, n_steps, False, False, None, "big"),
     ]
 
@@ -730,15 +756,20 @@ def main():
                      "error": "skipped: HBM probe failed (co-tenant holds chip memory or tunnel down)"}
                 )
                 continue
+        # train at >50k runs the edge-chunked fr sweep from the start: the
+        # unchunked window is ~27 GiB f32 / 15.5 bf16 vs a 16 GB chip
+        fr_chunks = 8 if (mode == "train" and atoms > 50000) else None
         if subproc:
             elapsed = time.perf_counter() - t_start
             timeout_s = min(900.0, max(420.0, budget_s - elapsed + 120.0))
             case = _run_case_guarded(
-                atoms, mode, impl, dt_, steps, remat, tf32, fgm, timeout_s
+                atoms, mode, impl, dt_, steps, remat, tf32, fgm, timeout_s,
+                fr_chunks=fr_chunks,
             )
         else:
             case = run_case(
-                atoms, mode, impl, dt_, steps, remat=remat, tf32=tf32, fgm=fgm
+                atoms, mode, impl, dt_, steps, remat=remat, tf32=tf32, fgm=fgm,
+                fr_chunks=fr_chunks,
             )
         cases.append(case)
         emit(cases)

@@ -581,6 +581,14 @@ def _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):
     # static upper bound on sum(aligned), rounded to a whole number of chunks
     E_pal = ((E + T * block_e + block_e - 1) // block_e) * block_e
     G = E_pal // block_e
+    if G >= 512:
+        # keep big streams' chunk count divisible by powers of two (<= 32) so
+        # the edge-chunked fr sweep (NEQUIP_FR_EDGE_CHUNKS) never silently
+        # falls back on an awkward G (at 100k atoms the natural G = 8438 =
+        # 2 x 4219 with 4219 prime).  The extra chunks are inert: all slots
+        # invalid (rel_dst = -1), assigned to the last tile, chunk_first = 0.
+        G = ((G + 31) // 32) * 32
+        E_pal = G * block_e
 
     idx = jnp.arange(E, dtype=jnp.int32)
     pos_in_tile = idx - _take_ib(tile_edge_off, tile_sorted).astype(jnp.int32)

@@ -21,7 +21,7 @@ def test_remat_fallback_ladder(bench, monkeypatch):
     sleeping between the ladder steps."""
     calls = []
 
-    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm):
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm, fr_chunks=None):
         calls.append(remat)
         if remat is not True:
             return {"error": "RESOURCE_EXHAUSTED: fake"}
@@ -41,7 +41,7 @@ def test_compile_helper_failure_walks_ladder(bench, monkeypatch):
     100k f32 rows died on it with no fallback)."""
     calls = []
 
-    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm):
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm, fr_chunks=None):
         calls.append(remat)
         if remat is not True:
             return {"error": "JaxRuntimeError: INTERNAL: HTTP 500: "
@@ -63,7 +63,7 @@ def test_train_ladder_switches_to_fr(bench, monkeypatch):
     normal remat ladder."""
     calls = []
 
-    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm):
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm, fr_chunks=None):
         calls.append((fgm, remat))
         if not (fgm == "fr" and remat is True):
             return {"error": "RESOURCE_EXHAUSTED: fake"}
@@ -80,7 +80,7 @@ def test_train_ladder_switches_to_fr(bench, monkeypatch):
 def test_small_case_no_remat_ladder(bench, monkeypatch):
     calls = []
 
-    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm):
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm, fr_chunks=None):
         calls.append(remat)
         return {"error": "RESOURCE_EXHAUSTED: fake"}
 
@@ -107,3 +107,25 @@ def test_headline_prefers_big_f32_and_nulls_mixed_precision(bench, capsys):
     # minimal run of the logic: big beats small even when slower overall
     big = [c for c in cases if c["atoms"] > 50000 and "error" not in c]
     assert big and big[0]["dtype"] == "bfloat16"
+
+
+def test_train_ladder_final_rung_is_edge_chunks(bench, monkeypatch):
+    """When fr + full remat still OOMs, the ladder's last rung turns on the
+    edge-chunked fr sweep (fr_chunks=16, save_tp) before giving up."""
+    calls = []
+
+    def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm,
+                  fr_chunks=None):
+        calls.append((fgm, remat, fr_chunks))
+        if not fr_chunks:
+            return {"error": "RESOURCE_EXHAUSTED: fake"}
+        return {"atoms": n_atoms, "mode": mode, "tp_impl": tp_impl,
+                "dtype": dtype, "atom_steps_per_s": 1.0}
+
+    monkeypatch.setattr(bench, "_run_case_once", fake_once)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench.run_case(100000, "train", "pallas_fused", remat=False, fgm="rr")
+    assert "error" not in out
+    assert calls[-1] == ("fr", "save_tp", 8)
+    assert calls[:-1] == [("rr", False, None), ("fr", "save_tp", None),
+                          ("fr", True, None)]
