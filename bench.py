@@ -168,8 +168,8 @@ def run_case(n_atoms, mode, tp_impl, dtype="float32", n_steps=6, remat=False, tf
             # ladder is only effective in fr mode (the dual-sweep surrogate,
             # training_module.py): under rr, per-layer remat cannot bound the
             # force-VJP residuals (14-15 GiB at 23k regardless of policy; fr
-            # + save_tp measures 5.96 GiB since the structural VJPs — see
-            # the matrix-plan comment), so OOM'd rr rows switch to fr.
+            # + save_tp measures 6.0 GiB, 2.65 with fr_chunks=8 — see the
+            # matrix-plan comment), so OOM'd rr rows switch to fr.
             if mode == "train" and fgm == "rr":
                 fgm = "fr"
                 remat = "save_tp"
@@ -699,9 +699,9 @@ def main():
     # the record before any slow-compiling case; the >50k rows and the
     # md row (cold Mosaic+XLA compile took >20 min through the tunnel in r3)
     # run last.  Train rows use fr (dual-sweep surrogate) + save_tp: the
-    # only combination whose temp memory is boundable (5.96 GiB at 23k
-    # since the structural VJPs vs rr's 14-15 at ANY remat policy) — robust
-    # next to a co-tenant on the 16 GB chip.
+    # only combination whose temp memory is boundable (6.0 GiB at 23k since
+    # the structural VJPs, 2.65 with the r4 edge-chunked sweep, vs rr's
+    # 14-15 at ANY remat policy) — robust next to a co-tenant's 16 GB chip.
     plan = [
         (0, "calib", "-", "-", 0, False, False, None, "cheap"),
         (4000, "infer", "xla", dtype, n_steps, False, False, None, "cheap"),
@@ -714,11 +714,12 @@ def main():
         (100000, "infer", "pallas_fused", dtype, n_steps, False, True, None, "big"),
         # pallas_fused is the ONLY impl that compiles at 100k (VERDICT r2);
         # it trains since the composition VJP landed.  Compile-only probes
-        # (tools/train_memory.py, r3 session 5): the fr dual-sweep train
-        # floor is per-edge residuals (5.96 GiB at 23k f32, identical at
-        # save_tp and full remat) — at 100k it compiles ONLY in bf16
-        # (save_tp 15.55 GiB; f32 needs ~27 GiB and fails buffer assignment
-        # at every policy), so the 100k train row is bf16 by construction
+        # (tools/train_memory.py): unchunked, the fr dual-sweep floor is
+        # per-edge residuals (~6 GiB at 23k f32, any remat policy) and 100k
+        # f32 needs ~27 GiB — bf16 (save_tp 15.55 GiB) was the only 100k
+        # train mode through r3.  The r4 edge-chunked sweep (fr_chunks=8)
+        # compiles 100k f32 at 12.33 GiB; this row runs bf16 for the
+        # bf16-throughput record, the f32 row below for the f32 one
         (100000, "train", "pallas_fused", "bfloat16", 2, "save_tp", False, "fr", "big"),
         (23000, "md", "pallas_fused", dtype, n_steps, False, False, None, "mid"),
         # 100k f32 TRAIN — newly possible in r4: the edge-chunked fr sweep
