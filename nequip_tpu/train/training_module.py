@@ -83,12 +83,22 @@ class NequIPTrainModule:
         gradient_clip_val: Optional[float] = None,
         seed: Optional[int] = None,
         force_grad_mode: str = "rr",
+        fr_edge_chunks: int = 0,
     ):
         self.model_config = model if isinstance(model, dict) else None
         # "rr" (reverse-over-reverse, the reference semantics) or "fr"
         # (reverse-over-forward surrogate; see make_train_step)
         assert force_grad_mode in ("rr", "fr"), force_grad_mode
         self.force_grad_mode = force_grad_mode
+        # fr memory lever: scan both fr passes over this many edge-stream
+        # slices (ops/pallas/tp_scatter.py chunked_jvp_conv; power of two
+        # <= 32).  Config-level alias of NEQUIP_FR_EDGE_CHUNKS — the knob is
+        # read at trace time via the environment, so setting it here affects
+        # every step traced in this process after make_train_step()
+        assert fr_edge_chunks == 0 or (
+            force_grad_mode == "fr" and fr_edge_chunks > 1
+        ), "fr_edge_chunks requires force_grad_mode='fr' and a value > 1"
+        self.fr_edge_chunks = int(fr_edge_chunks)
 
         # === models (possibly several, as in the reference's ModuleDict) ===
         # contract mirrors lightning.py:78-107: a mapping of name -> model
@@ -296,6 +306,10 @@ class NequIPTrainModule:
         # every tp_impl and per-layer remat bounds the surrogate pass.
 
         if self.force_grad_mode == "fr":
+            if self.fr_edge_chunks:
+                import os as _os
+
+                _os.environ["NEQUIP_FR_EDGE_CHUNKS"] = str(self.fr_edge_chunks)
             return self._make_train_step_fr(axis_name)
 
         def train_step(state: TrainState, batch: dict, loss_coeffs=None, lr_scale=None):
@@ -447,6 +461,11 @@ class NequIPTrainModule:
             "gradient_clip_val": self.gradient_clip_val,
             "seed": self.seed,
             "force_grad_mode": self.force_grad_mode,
+            **(
+                {"fr_edge_chunks": self.fr_edge_chunks}
+                if self.fr_edge_chunks
+                else {}
+            ),
             "_target_": f"{type(self).__module__}.{type(self).__name__}",
         }
 

@@ -163,3 +163,44 @@ def test_chunked_primal_forward_and_forces_match(model_and_batch, monkeypatch):
     e1, f1 = run(2)
     np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=1e-9, atol=1e-12)
+
+
+def test_fr_edge_chunks_config_field(model_and_batch, monkeypatch):
+    """fr_edge_chunks as a TrainModule config field == the env knob."""
+    from nequip_tpu.ops.pallas import tp_scatter as tps
+    from nequip_tpu.train import EMATrainModule, EnergyForceLoss
+
+    monkeypatch.delenv("NEQUIP_FR_EDGE_CHUNKS", raising=False)
+    model, batch = model_and_batch
+    r = np.random.RandomState(2)
+    data = dict(batch)
+    data[_keys.TOTAL_ENERGY_KEY] = jnp.asarray(r.standard_normal((1, 1)))
+    data[_keys.FORCE_KEY] = jnp.asarray(
+        r.standard_normal(batch[_keys.POSITIONS_KEY].shape)
+    )
+    calls = []
+    real = tps.chunked_jvp_conv
+    monkeypatch.setattr(
+        tps, "chunked_jvp_conv", lambda *a, **k: calls.append(1) or real(*a, **k)
+    )
+    module = EMATrainModule(
+        model=model,
+        loss=EnergyForceLoss(type_names=["Cu", "H"]),
+        optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
+        force_grad_mode="fr",
+        fr_edge_chunks=2,
+    )
+    state = module.init_state()
+    step = module.make_train_step()
+    state, _ = step(state, data, module.loss.coeff_vector())
+    assert calls, "config field did not activate the chunked sweep"
+    assert module.hyperparameters()["fr_edge_chunks"] == 2
+
+    with pytest.raises(AssertionError):
+        EMATrainModule(
+            model=model,
+            loss=EnergyForceLoss(type_names=["Cu", "H"]),
+            optimizer={"_target_": "optax.adam", "learning_rate": 1e-3},
+            force_grad_mode="rr",
+            fr_edge_chunks=2,
+        )
