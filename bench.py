@@ -721,12 +721,15 @@ def main():
         # compiles 100k f32 at 12.33 GiB; this row runs bf16 for the
         # bf16-throughput record, the f32 row below for the f32 one
         (100000, "train", "pallas_fused", "bfloat16", 2, "save_tp", False, "fr", "big"),
-        (23000, "md", "pallas_fused", dtype, n_steps, False, False, None, "mid"),
         # 100k f32 TRAIN — newly possible in r4: the edge-chunked fr sweep
         # (NEQUIP_FR_EDGE_CHUNKS, tp_scatter.py chunked_jvp_conv) cuts the
         # dual-sweep window to slice size; compile-only probes put the step
-        # well under the 16 GB chip where every unchunked policy needed ~27
+        # well under the 16 GB chip where every unchunked policy needed ~27.
+        # Runs BEFORE the md row: the md program's cold compile took >20 min
+        # through the tunnel in r3 (≈ certain to burn its full case timeout),
+        # and this row is the round's new-capability record.
         (100000, "train", "pallas_fused", dtype, 2, "save_tp", True, "fr", "big"),
+        (23000, "md", "pallas_fused", dtype, n_steps, False, False, None, "mid"),
         (100000, "infer", "pallas_fused", dtype, n_steps, False, False, None, "big"),
     ]
 
