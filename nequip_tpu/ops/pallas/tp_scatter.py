@@ -82,6 +82,30 @@ if _F32_PRECISION not in ("highest", "default"):
     )
 
 
+# step-time attribution probes (trace-time, NUMERICALLY WRONG results —
+# measurement only): comma list of gather sites to replace with a contiguous
+# stream copy of the same shape, isolating each site's row-gather cost.
+# Tokens: "xfwd" (forward x_lay), "xbwd" (backward-kernel x_lay), "dxre"
+# (the dx-scatter's reorder-into-layout gather).
+_ABLATE_GATHER = frozenset(
+    t for t in _os.environ.get("NEQUIP_ABLATE_GATHER", "").split(",") if t
+)
+
+
+def _ablated_take(tag, a, idx):
+    """``_take_ib(a, idx, axis=0)``, or a gather-free stream copy when the
+    site ``tag`` is ablated via ``NEQUIP_ABLATE_GATHER`` (attribution A/Bs
+    on the real chip; see ROUND4_NOTES.md)."""
+    if tag in _ABLATE_GATHER:
+        M = idx.shape[0]
+        if M == a.shape[0]:
+            return a  # permute site: identity is the exact gather-free form
+        # expand site: a zeros stream costs one sequential write (~1.5 ms at
+        # 23k) vs the gather's random-row read — the cheapest same-shape stand-in
+        return jnp.zeros((M, a.shape[1]), a.dtype)
+    return _take_ib(a, idx, axis=0)
+
+
 def _mxu_precision(dtype):
     """MXU pass policy for the kernels' matmuls.
 
@@ -702,7 +726,7 @@ def _forward(
         # order, mask folded into rel_dst (-1 rows scatter nothing) — no
         # gathers, no defensive where-copies
         E_pal = edge_dst.shape[0]
-        x_lay = _take_ib(x, edge_src, axis=0)
+        x_lay = _ablated_take("xfwd", x, edge_src)
         y_lay, w_lay = edge_attr, edge_weight
     else:
         E_pal = take_idx.shape[0]
@@ -850,7 +874,7 @@ def pallas_scatter_sum(
 
     def one_pass(v_cols):
         d = v_cols.shape[1]
-        v_lay = _take_ib(v_cols, safe, axis=0)
+        v_lay = _ablated_take("dxre", v_cols, safe)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(G,),
@@ -968,7 +992,7 @@ def _backward_kernel_call(
         # there analytically — no gathers in, no scatter-backs out
         E_pal = E
         src_lay = edge_src
-        x_lay = _take_ib(x, edge_src, axis=0)
+        x_lay = _ablated_take("xbwd", x, edge_src)
         y_lay, w_lay = edge_attr, edge_weight
         wmask = valid
     else:
@@ -1312,13 +1336,13 @@ def _take_ib(a, idx, axis=None):
 
 
 def _layout_and_gather(tp_plan, x, edge_attr, edge_dst, edge_src, edge_mask,
-                       num_nodes, rows, block_e, layout=None):
+                       num_nodes, rows, block_e, layout=None, xtag="xfwd"):
     take_idx, rel_dst, chunk_tile, chunk_first, valid = _resolve_layout(
         edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, layout
     )
     if take_idx is None:
         # identity (pre-relaid) stream — see relayout_edge_stream
-        return (None, None, edge_src, _take_ib(x, edge_src, axis=0),
+        return (None, None, edge_src, _ablated_take(xtag, x, edge_src),
                 edge_attr, valid, rel_dst, chunk_tile, chunk_first)
     E = edge_dst.shape[0]
     E_pal = take_idx.shape[0]
@@ -1483,7 +1507,7 @@ def _make_fused_mlp(tp, mlp, num_nodes, rows, block_e, has_mask):
          chunk_tile, chunk_first) = _layout_and_gather(
             plan, x, edge_attr, edge_dst, edge_src,
             edge_mask if has_mask else None, num_nodes, rows, be,
-            layout=lay_b)
+            layout=lay_b, xtag="xbwd")
         if take_idx is None:
             emb_lay = edge_embed
         else:
@@ -1786,6 +1810,348 @@ def _make_fused_uncached(tp, num_nodes, rows, block_e, has_mask):
 
 
 # ---------------------------------------------------------------------------
+# tangent-fused trilinear kernels: primal + all three jvp terms of the conv
+# TP in ONE pass.  The fr dual sweep's four kernel calls per slice
+#
+#     msg = K(x,y,w);  tmsg = K(tx,y,w) + K(x,ty,w) + K(x,y,dw)
+#
+# stream (x,y,w) three times each and build the one-hot scatter four times;
+# the fused form loads each of (x,tx,y,ty,w,dw) once, shares the CG operand
+# products across terms (tangent caches), and scatters msg/tmsg with one S.
+# The fused BACKWARD collapses the four trilinear VJPs into six shared
+# accumulator families (P1..P3 keyed by sh component, Q1..Q3 keyed by
+# feature component) and pre-sums the three x-cotangent terms IN KERNEL —
+# one dx row-scatter instead of three.  Transposed (edge-on-lanes) layout
+# only; the 4-call path remains as the row-layout / kill-switch fallback
+# (NEQUIP_JVP_FUSED=0).
+# ---------------------------------------------------------------------------
+def _jvp_fused_enabled() -> bool:
+    return _TRANSPOSED and _os.environ.get("NEQUIP_JVP_FUSED", "1") == "1"
+
+
+def _compute_tp_jvp_block_T(plan, x_t, tx_t, y_t, ty_t, w_t, dw_t,
+                            msg_ref_t, tmsg_ref_t):
+    """Fused CG contraction + tangent, transposed operands [dim, BLOCK_E].
+
+    Per term the tangent of ``c*y*(x .* w)`` is ``c*ty*(x .* w) +
+    c*y*(tx .* w + x .* dw)``; caching ``xw`` and its tangent ``txw`` per
+    feature component makes the fused form ~5 multiplies per CG term versus
+    the 4-call sweep's ~8 (plus one operand load instead of three).
+    """
+    msg_ref_t[:] = jnp.zeros_like(msg_ref_t)
+    tmsg_ref_t[:] = jnp.zeros_like(tmsg_ref_t)
+    for p in plan.paths:
+        mul = p["mul"]
+        wp = w_t[p["w_sl"], :]
+        dwp = dw_t[p["w_sl"], :]
+        xw_cache, txw_cache = {}, {}
+        by_m3 = {}
+        for m1, m2, m3, c in p["terms"]:
+            by_m3.setdefault(m3, []).append((m1, m2, c))
+        for m3, terms in by_m3.items():
+            acc = tacc = None
+            for m1, m2, c in terms:
+                if m1 not in xw_cache:
+                    off = p["x_off"] + m1 * mul
+                    xr = x_t[off : off + mul, :]
+                    xw_cache[m1] = xr * wp
+                    txw_cache[m1] = tx_t[off : off + mul, :] * wp + xr * dwp
+                yo = p["y_off"] + m2
+                cy = c * y_t[yo : yo + 1, :]
+                t = cy * xw_cache[m1]
+                dt = cy * txw_cache[m1] + (c * ty_t[yo : yo + 1, :]) * xw_cache[m1]
+                acc = t if acc is None else acc + t
+                tacc = dt if tacc is None else tacc + dt
+            row = p["out_off"] + m3 * mul
+            msg_ref_t[row : row + mul, :] += acc.astype(msg_ref_t.dtype)
+            tmsg_ref_t[row : row + mul, :] += tacc.astype(tmsg_ref_t.dtype)
+
+
+def _jvp_kernel_T(plan, rows, block_e, with_acc, ct_ref, cf_ref,
+                  x_ref, tx_ref, y_ref, ty_ref, w_ref, dw_ref, rel_ref, *rest):
+    if with_acc:
+        (acc_ref, tacc_ref, out_ref, tout_ref, msg_scr, tmsg_scr) = rest
+    else:
+        (out_ref, tout_ref, msg_scr, tmsg_scr) = rest
+    g = pl.program_id(0)
+
+    @pl.when(cf_ref[g] == 1)
+    def _():
+        if with_acc:
+            out_ref[:] = acc_ref[:]
+            tout_ref[:] = tacc_ref[:]
+        else:
+            out_ref[:] = jnp.zeros_like(out_ref)
+            tout_ref[:] = jnp.zeros_like(tout_ref)
+
+    _compute_tp_jvp_block_T(
+        plan, x_ref[:].T, tx_ref[:].T, y_ref[:].T, ty_ref[:].T,
+        w_ref[:].T, dw_ref[:].T, msg_scr, tmsg_scr,
+    )
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(out_ref.dtype)
+    for scr, ref in ((msg_scr, out_ref), (tmsg_scr, tout_ref)):
+        ref[:] += jax.lax.dot_general(
+            S, scr[:], dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=_acc_dtype(scr.dtype),
+            precision=_mxu_precision(scr.dtype),
+        ).astype(ref.dtype)
+
+
+def _jvp_forward(tp, x, tx, sh, tsh, w, dw, edge_src, num_nodes, layout,
+                 rows=None, block_e=None, acc=None):
+    """(msg, tmsg) of the conv TP in one fused pass over an IDENTITY
+    (pre-relaid) edge stream.  ``acc`` = (msg_acc, tmsg_acc) folds a slice
+    into running [N, mid] accumulators (edge-chunked fr sweep)."""
+    rows = DEFAULT_ROWS if rows is None else rows
+    block_e = DEFAULT_BLOCK_E if block_e is None else block_e
+    plan = _TPPlan(tp)
+    assert layout["take_idx"] is None, "_jvp_forward requires identity layout"
+    rel_dst = layout["rel_dst"]
+    chunk_tile, chunk_first = layout["chunk_tile"], layout["chunk_first"]
+    E_pal = edge_src.shape[0]
+    G = E_pal // block_e
+    x_lay = _ablated_take("xfwd", x, edge_src)
+    tx_lay = _take_ib(tx, edge_src, axis=0)
+    rel_2d = rel_dst.reshape(E_pal, 1)
+
+    def stream(d):
+        return pl.BlockSpec((block_e, d), lambda g, ct, cf: (g, 0))
+
+    node = pl.BlockSpec((rows, plan.mid_dim), lambda g, ct, cf: (ct[g], 0))
+    in_specs = [
+        stream(plan.dim_in), stream(plan.dim_in),
+        stream(plan.sh_dim), stream(plan.sh_dim),
+        stream(plan.weight_numel), stream(plan.weight_numel),
+        stream(1),
+    ]
+    operands = [x_lay, tx_lay, sh, tsh, w, dw, rel_2d]
+    interpret = jax.default_backend() == "cpu"
+    io_aliases = {}
+    if acc is not None:
+        in_specs += [node, node]
+        operands += [acc[0], acc[1]]
+        if not interpret:
+            io_aliases = {9: 0, 10: 1}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=[node, node],
+        scratch_shapes=[
+            pltpu.VMEM((plan.mid_dim, block_e), x.dtype),
+            pltpu.VMEM((plan.mid_dim, block_e), x.dtype),
+        ],
+    )
+    out, tout = pl.pallas_call(
+        partial(_jvp_kernel_T, plan, rows, block_e, acc is not None),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_nodes, plan.mid_dim), x.dtype),
+            jax.ShapeDtypeStruct((num_nodes, plan.mid_dim), x.dtype),
+        ],
+        interpret=interpret,
+        input_output_aliases=io_aliases,
+    )(chunk_tile, chunk_first, *operands)
+    if acc is not None and not io_aliases:
+        # interpret mode (no aliasing): restore output blocks of tiles this
+        # slice never visits from the accumulators (see _forward)
+        r = jnp.arange(num_nodes, dtype=jnp.int32)
+        touched = (r >= chunk_tile[0] * rows) & (r < (chunk_tile[-1] + 1) * rows)
+        out = jnp.where(touched[:, None], out, acc[0])
+        tout = jnp.where(touched[:, None], tout, acc[1])
+    return out, tout
+
+
+def _compute_tp_jvp_bwd_block_T(plan, x_t, tx_t, y_t, ty_t, w_t, dw_t,
+                                ge_t, get_t, dx_r, dtx_r, dy_r, dty_r,
+                                dw_r, ddw_r):
+    """Fused VJP of the four-term dual sweep, transposed operands.
+
+    With ``B(a, b, v; G)`` the trilinear VJP, the sweep's reverse is
+
+        dx  = B_x(x,y,w;g) + B_x(x,ty,w;gt) + B_x(x,y,dw;gt)
+        dtx = B_x(tx,y,w;gt)                       (terms keyed by which
+        dy  = B_y(..;g) + two gt terms, etc.        operand carried tangent)
+
+    All twelve pieces factor through six accumulator families:
+    P1=Σc·x·g, P2=Σc·x·gt, P3=Σc·tx·gt (keyed by sh component m2) and
+    Q1=Σc·y·g, Q2=Σc·y·gt, Q3=Σc·ty·gt (keyed by feature component m1):
+
+        dx  = w·(Q1+Q3) + dw·Q2        dtx  = w·Q2
+        dy  = Σ w·(P1+P3) + dw·P2      dty  = Σ w·P2
+        cw  = Σ y·(P1+P3) + ty·P2      cdw  = Σ y·P2
+
+    (cw/cdw are the cotangents of the radial weights and their tangent,
+    reversed through the MLP jvp by the caller.)  P2/Q2 are each consumed
+    three/two times — the sharing the 4-call form cannot express.
+    """
+    dx_r[:] = jnp.zeros_like(dx_r)
+    dtx_r[:] = jnp.zeros_like(dtx_r)
+    dy_r[:] = jnp.zeros_like(dy_r)
+    dty_r[:] = jnp.zeros_like(dty_r)
+    cw_rows, cdw_rows = {}, {}
+    for p in plan.paths:
+        mul = p["mul"]
+        wp = w_t[p["w_sl"], :]
+        dwp = dw_t[p["w_sl"], :]
+        by_m3 = {}
+        for m1, m2, m3, c in p["terms"]:
+            by_m3.setdefault(m3, []).append((m1, m2, c))
+        P1, P2, P3 = {}, {}, {}
+        Q1, Q2, Q3 = {}, {}, {}
+        for m3, terms in by_m3.items():
+            row = p["out_off"] + m3 * mul
+            grow = ge_t[row : row + mul, :]
+            gtrow = get_t[row : row + mul, :]
+            for m1, m2, c in terms:
+                xo = p["x_off"] + m1 * mul
+                xr = x_t[xo : xo + mul, :]
+                txr = tx_t[xo : xo + mul, :]
+                t = c * (xr * grow)
+                P1[m2] = t if m2 not in P1 else P1[m2] + t
+                t = c * (xr * gtrow)
+                P2[m2] = t if m2 not in P2 else P2[m2] + t
+                t = c * (txr * gtrow)
+                P3[m2] = t if m2 not in P3 else P3[m2] + t
+                yo = p["y_off"] + m2
+                cy = c * y_t[yo : yo + 1, :]
+                cty = c * ty_t[yo : yo + 1, :]
+                t = cy * grow
+                Q1[m1] = t if m1 not in Q1 else Q1[m1] + t
+                t = cy * gtrow
+                Q2[m1] = t if m1 not in Q2 else Q2[m1] + t
+                t = cty * gtrow
+                Q3[m1] = t if m1 not in Q3 else Q3[m1] + t
+        cw_acc = cdw_acc = None
+        for m2 in P1:
+            p13 = P1[m2] + P3[m2]
+            p2 = P2[m2]
+            yo = p["y_off"] + m2
+            yv = y_t[yo : yo + 1, :]
+            tyv = ty_t[yo : yo + 1, :]
+            dy_r[yo : yo + 1, :] += jnp.sum(
+                wp * p13 + dwp * p2, axis=0, keepdims=True
+            )
+            dty_r[yo : yo + 1, :] += jnp.sum(wp * p2, axis=0, keepdims=True)
+            t = yv * p13 + tyv * p2
+            cw_acc = t if cw_acc is None else cw_acc + t
+            t = yv * p2
+            cdw_acc = t if cdw_acc is None else cdw_acc + t
+        for m1 in Q1:
+            xo = p["x_off"] + m1 * mul
+            dx_r[xo : xo + mul, :] += wp * (Q1[m1] + Q3[m1]) + dwp * Q2[m1]
+            dtx_r[xo : xo + mul, :] += wp * Q2[m1]
+        cw_rows[p["w_sl"].start] = (p["w_sl"], cw_acc)
+        cdw_rows[p["w_sl"].start] = (p["w_sl"], cdw_acc)
+    for rows_map, ref in ((cw_rows, dw_r), (cdw_rows, ddw_r)):
+        pos_ = 0
+        for start in sorted(rows_map):
+            sl, acc_v = rows_map[start]
+            if sl.start > pos_:
+                ref[pos_ : sl.start, :] = jnp.zeros(
+                    (sl.start - pos_, x_t.shape[1]), dtype=ref.dtype
+                )
+            ref[sl, :] = acc_v.astype(ref.dtype)
+            pos_ = sl.stop
+        if pos_ < plan.weight_numel:
+            ref[pos_ :, :] = jnp.zeros(
+                (plan.weight_numel - pos_, x_t.shape[1]), dtype=ref.dtype
+            )
+
+
+def _jvp_bwd_kernel_T(plan, rows, block_e, ct_ref, cf_ref,
+                      x_ref, tx_ref, y_ref, ty_ref, w_ref, dw_ref, rel_ref,
+                      g_ref, gt_ref,
+                      dx_ref, dtx_ref, dy_ref, dty_ref, dwo_ref, ddwo_ref,
+                      ge_scr, get_scr, dx_scr, dtx_scr, dy_scr, dty_scr,
+                      dw_scr, ddw_scr):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_e, rows), 1)
+    S = (row_ids == rel_ref[:]).astype(g_ref.dtype)
+    for gr, scr in ((g_ref, ge_scr), (gt_ref, get_scr)):
+        scr[:] = jax.lax.dot_general(
+            gr[:], S, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=_acc_dtype(gr.dtype),
+            precision=_mxu_precision(gr.dtype),
+        ).astype(scr.dtype)
+    _compute_tp_jvp_bwd_block_T(
+        plan, x_ref[:].T, tx_ref[:].T, y_ref[:].T, ty_ref[:].T,
+        w_ref[:].T, dw_ref[:].T, ge_scr[:], get_scr[:],
+        dx_scr, dtx_scr, dy_scr, dty_scr, dw_scr, ddw_scr,
+    )
+    dx_ref[:] = dx_scr[:].T
+    dtx_ref[:] = dtx_scr[:].T
+    dy_ref[:] = dy_scr[:].T
+    dty_ref[:] = dty_scr[:].T
+    dwo_ref[:] = dw_scr[:].T
+    ddwo_ref[:] = ddw_scr[:].T
+
+
+def _jvp_backward_kernel_call(tp, plan, x, tx, sh, tsh, w, dw, edge_src,
+                              num_nodes, rows, block_e, g, gt, layout):
+    """Reverse of the fused dual-sweep slice: one kernel pass produces the
+    six per-edge/param cotangent streams; the three x-cotangent terms are
+    pre-summed in kernel so ONE dx row-scatter (plus one for dtx) replaces
+    the 4-call form's four."""
+    assert layout["take_idx"] is None
+    rel_dst = layout["rel_dst"]
+    chunk_tile, chunk_first = layout["chunk_tile"], layout["chunk_first"]
+    E_pal = edge_src.shape[0]
+    G = E_pal // block_e
+    x_lay = _ablated_take("xbwd", x, edge_src)
+    tx_lay = _take_ib(tx, edge_src, axis=0)
+    rel_2d = rel_dst.reshape(E_pal, 1)
+
+    def stream(d):
+        return pl.BlockSpec((block_e, d), lambda g_, ct, cf: (g_, 0))
+
+    node = pl.BlockSpec((rows, plan.mid_dim), lambda g_, ct, cf: (ct[g_], 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            stream(plan.dim_in), stream(plan.dim_in),
+            stream(plan.sh_dim), stream(plan.sh_dim),
+            stream(plan.weight_numel), stream(plan.weight_numel),
+            stream(1), node, node,
+        ],
+        out_specs=[
+            stream(plan.dim_in), stream(plan.dim_in),
+            stream(plan.sh_dim), stream(plan.sh_dim),
+            stream(plan.weight_numel), stream(plan.weight_numel),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((plan.mid_dim, block_e), x.dtype),
+            pltpu.VMEM((plan.mid_dim, block_e), x.dtype),
+            pltpu.VMEM((plan.dim_in, block_e), x.dtype),
+            pltpu.VMEM((plan.dim_in, block_e), x.dtype),
+            pltpu.VMEM((plan.sh_dim, block_e), x.dtype),
+            pltpu.VMEM((plan.sh_dim, block_e), x.dtype),
+            pltpu.VMEM((plan.weight_numel, block_e), x.dtype),
+            pltpu.VMEM((plan.weight_numel, block_e), x.dtype),
+        ],
+    )
+    dx_lay, dtx_lay, dy_lay, dty_lay, cw_lay, cdw_lay = pl.pallas_call(
+        partial(_jvp_bwd_kernel_T, plan, rows, block_e),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E_pal, plan.dim_in), x.dtype),
+            jax.ShapeDtypeStruct((E_pal, plan.dim_in), x.dtype),
+            jax.ShapeDtypeStruct((E_pal, plan.sh_dim), x.dtype),
+            jax.ShapeDtypeStruct((E_pal, plan.sh_dim), x.dtype),
+            jax.ShapeDtypeStruct((E_pal, plan.weight_numel), x.dtype),
+            jax.ShapeDtypeStruct((E_pal, plan.weight_numel), x.dtype),
+        ],
+        interpret=(jax.default_backend() == "cpu"),
+    )(chunk_tile, chunk_first, x_lay, tx_lay, sh, tsh, w, dw, rel_2d, g, gt)
+
+    wmask = layout["valid"]
+    dx = _dx_scatter(dx_lay, edge_src, wmask, num_nodes, rows, block_e, layout)
+    dtx = _dx_scatter(dtx_lay, edge_src, wmask, num_nodes, rows, block_e, layout)
+    return dx, dtx, dy_lay, dty_lay, cw_lay, cdw_lay
+
+
+# ---------------------------------------------------------------------------
 # edge-chunked fr dual sweep: (msg, tmsg) of one interaction layer's conv,
 # scanned over slices of the relaid edge stream.
 # ---------------------------------------------------------------------------
@@ -1855,10 +2221,11 @@ def chunked_jvp_conv(
     assert layout.get("take_idx", 0) is None, (
         "chunked_jvp_conv requires the identity (pre-relaid) edge layout"
     )
-    key = ("chunked", id(tp), id(mlp_module), num_nodes, rows, block_e, C)
+    fused_jvp = _jvp_fused_enabled()
+    key = ("chunked", id(tp), id(mlp_module), num_nodes, rows, block_e, C, fused_jvp)
     if key not in _TP_CACHE:
         _TP_CACHE[key] = _make_chunked_jvp(
-            tp, mlp_module, num_nodes, rows, block_e, C
+            tp, mlp_module, num_nodes, rows, block_e, C, fused_jvp
         )
     Gc, Es = G // C, E_pal // C
     stk = {
@@ -1873,7 +2240,7 @@ def chunked_jvp_conv(
     return _TP_CACHE[key](x, tx, sh, tsh, emb, temb, mlp_params, stk)
 
 
-def _make_chunked_jvp(tp, mlp_module, num_nodes, rows, block_e, C):
+def _make_chunked_jvp(tp, mlp_module, num_nodes, rows, block_e, C, fused_jvp=False):
     plan = _TPPlan(tp)
 
     def _mlp_jvp(p, emb_s, temb_s):
@@ -1901,6 +2268,12 @@ def _make_chunked_jvp(tp, mlp_module, num_nodes, rows, block_e, C):
             src_s = xs["src"]
             w_s, dw_s = _mlp_jvp(mlp_params, xs["emb"], xs["temb"])
             w_s, dw_s = w_s.astype(x.dtype), dw_s.astype(x.dtype)
+            if fused_jvp:
+                msg_acc, tmsg_acc = _jvp_forward(
+                    tp, x, tx, xs["sh"], xs["tsh"], w_s, dw_s, src_s,
+                    num_nodes, lay_s, rows, block_e, acc=(msg_acc, tmsg_acc),
+                )
+                return (msg_acc, tmsg_acc), None
             kw = dict(num_nodes=num_nodes, rows=rows, block_e=block_e, layout=lay_s)
             msg_acc = _forward(tp, x, xs["sh"], w_s, src_s, src_s, None,
                                acc=msg_acc, **kw)
@@ -1936,22 +2309,35 @@ def _make_chunked_jvp(tp, mlp_module, num_nodes, rows, block_e, C):
             src_s = xs["src"]
             w_s, dw_s = _mlp_jvp(mlp_params, xs["emb"], xs["temb"])
             w_s, dw_s = w_s.astype(x.dtype), dw_s.astype(x.dtype)
-            B = lambda xx, yy, ww, gg: _backward_kernel_call(
-                tp, plan, xx, yy, ww, src_s, src_s, None,
-                num_nodes, rows, block_e, gg, layout=lay_s,
-            )
-            dx1, dy1, dw1 = B(x, xs["sh"], w_s, g_msg)
-            dx2, dy2, dw2 = B(tx, xs["sh"], w_s, g_tmsg)
-            dx3, dy3, dw3 = B(x, xs["tsh"], w_s, g_tmsg)
-            dx4, dy4, dw4 = B(x, xs["sh"], dw_s, g_tmsg)
-            dx = dx + dx1 + dx3 + dx4
-            dtx = dtx + dx2
-            dsh_s = dy1 + dy2 + dy4
-            dtsh_s = dy3
-            # reverse through (emb, temb, params) -> (w, dw): cw collects the
-            # three w-operand kernels, cdw the dw-operand one
-            cw_s = (dw1 + dw2 + dw3).astype(emb.dtype)
-            cdw_s = dw4.astype(emb.dtype)
+            if fused_jvp:
+                dxs, dtxs, dsh_s, dtsh_s, cw_s, cdw_s = (
+                    _jvp_backward_kernel_call(
+                        tp, plan, x, tx, xs["sh"], xs["tsh"], w_s, dw_s,
+                        src_s, num_nodes, rows, block_e, g_msg, g_tmsg,
+                        layout=lay_s,
+                    )
+                )
+                dx = dx + dxs
+                dtx = dtx + dtxs
+                cw_s = cw_s.astype(emb.dtype)
+                cdw_s = cdw_s.astype(emb.dtype)
+            else:
+                B = lambda xx, yy, ww, gg: _backward_kernel_call(
+                    tp, plan, xx, yy, ww, src_s, src_s, None,
+                    num_nodes, rows, block_e, gg, layout=lay_s,
+                )
+                dx1, dy1, dw1 = B(x, xs["sh"], w_s, g_msg)
+                dx2, dy2, dw2 = B(tx, xs["sh"], w_s, g_tmsg)
+                dx3, dy3, dw3 = B(x, xs["tsh"], w_s, g_tmsg)
+                dx4, dy4, dw4 = B(x, xs["sh"], dw_s, g_tmsg)
+                dx = dx + dx1 + dx3 + dx4
+                dtx = dtx + dx2
+                dsh_s = dy1 + dy2 + dy4
+                dtsh_s = dy3
+                # reverse through (emb, temb, params) -> (w, dw): cw collects
+                # the three w-operand kernels, cdw the dw-operand one
+                cw_s = (dw1 + dw2 + dw3).astype(emb.dtype)
+                cdw_s = dw4.astype(emb.dtype)
             _, pull = jax.vjp(
                 lambda e, t, p: _mlp_jvp(p, e, t), xs["emb"], xs["temb"], mlp_params
             )
