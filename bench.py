@@ -374,7 +374,10 @@ def _run_case_once(
     if fr_chunks:
         # edge-chunked fr sweep (trace-time env gate, see interaction_block.py)
         os.environ["NEQUIP_FR_EDGE_CHUNKS"] = str(int(fr_chunks))
-    elif fr_chunks == 0:
+    else:
+        # falsy (None or 0) means unchunked — always clear the env var so a
+        # chunked case run earlier in the SAME process (NEQUIP_BENCH_SUBPROC=0)
+        # cannot leak its chunking into later infer/md cases (ADVICE r4)
         os.environ.pop("NEQUIP_FR_EDGE_CHUNKS", None)
 
     from __graft_entry__ import _example_model_and_batch
@@ -576,6 +579,9 @@ def main():
             os.environ.get("NEQUIP_BENCH_TP_IMPL", default_impl),
             dtype,
             n_steps,
+            # run_case clears the env gate when fr_chunks is falsy, so a
+            # user-set NEQUIP_FR_EDGE_CHUNKS must be passed through explicitly
+            fr_chunks=int(os.environ.get("NEQUIP_FR_EDGE_CHUNKS", 0)) or None,
             # unset = auto (save_tp above 50k); "0"/"1" bool, any other
             # string ("save_tp"/"force"/"force_full") passes through
             remat=(

@@ -26,6 +26,27 @@ from .module import GraphModule, Params
 from .norm import AvgNumNeighborsNorm
 from .tp_scatter import TensorProductScatter
 
+# one-time trace-time warnings when NEQUIP_FR_EDGE_CHUNKS is set but the
+# chunked path cannot activate (ADVICE r4: the bench OOM ladder would
+# otherwise silently re-run the exact config that just OOM'd)
+_CHUNK_FALLBACK_WARNED: set = set()
+
+
+def _warn_chunk_fallback(site: str, n_chunks: int, detail: str) -> None:
+    key = (site, n_chunks, detail)
+    if key not in _CHUNK_FALLBACK_WARNED:
+        _CHUNK_FALLBACK_WARNED.add(key)
+        import logging
+
+        logging.getLogger("nequip_tpu").warning(
+            "NEQUIP_FR_EDGE_CHUNKS=%d requested but the %s chunked path "
+            "cannot activate (%s); falling back to the unchunked sweep — "
+            "the memory win does NOT apply",
+            n_chunks,
+            site,
+            detail,
+        )
+
 
 class InteractionBlock(GraphModule):
     def __init__(
@@ -247,13 +268,21 @@ class InteractionBlock(GraphModule):
             sh = data[_keys.EDGE_ATTRS_KEY]
             E_pal = sh.shape[0]
             G = E_pal // DEFAULT_BLOCK_E
-            if (
+            _chunk_ok = (
                 isinstance(layout, dict)
                 and layout.get("take_idx", 0) is None
                 and num_nodes % DEFAULT_ROWS == 0
                 and E_pal % DEFAULT_BLOCK_E == 0
                 and G % n_chunks == 0
-            ):
+            )
+            if not _chunk_ok:
+                _warn_chunk_fallback(
+                    "primal conv", n_chunks,
+                    f"identity_layout={isinstance(layout, dict) and layout.get('take_idx', 0) is None}, "
+                    f"G={G}, G%chunks={G % n_chunks if n_chunks else '-'}, "
+                    f"N%rows={num_nodes % DEFAULT_ROWS}, E%blockE={E_pal % DEFAULT_BLOCK_E}",
+                )
+            if _chunk_ok:
                 msg = chunked_conv(
                     self.tp_scatter.tp, self.edge_mlp, params["edge_mlp"],
                     x, sh, data[_keys.EDGE_EMBEDDING_KEY],
@@ -438,11 +467,18 @@ class InteractionBlock(GraphModule):
 
             E_pal = sh.shape[0]
             G = E_pal // DEFAULT_BLOCK_E
-            if (
+            _chunk_ok = (
                 num_nodes % DEFAULT_ROWS == 0
                 and E_pal % DEFAULT_BLOCK_E == 0
                 and G % n_chunks == 0
-            ):
+            )
+            if not _chunk_ok:
+                _warn_chunk_fallback(
+                    "dual-sweep (jvp)", n_chunks,
+                    f"G={G}, G%chunks={G % n_chunks}, "
+                    f"N%rows={num_nodes % DEFAULT_ROWS}, E%blockE={E_pal % DEFAULT_BLOCK_E}",
+                )
+            if _chunk_ok:
                 msg, tmsg = chunked_jvp_conv(
                     self.tp_scatter.tp, self.edge_mlp, params["edge_mlp"],
                     x, tx, sh, tsh, emb, temb, edge_src, layout,
@@ -459,6 +495,13 @@ class InteractionBlock(GraphModule):
                 t_out = dict(tangents)
                 t_out[_keys.NODE_FEATURES_KEY] = tx_out
                 return out, t_out
+        elif (
+            n_chunks > 1 and tx is not None and tsh is not None and temb is not None
+        ):
+            _warn_chunk_fallback(
+                "dual-sweep (jvp)", n_chunks,
+                "edge stream not in identity layout (relayout disabled?)",
+            )
 
         if use_fully_fused:
             from ..ops.pallas.tp_scatter import fused_tp_scatter_mlp

@@ -306,10 +306,15 @@ class NequIPTrainModule:
         # every tp_impl and per-layer remat bounds the surrogate pass.
 
         if self.force_grad_mode == "fr":
-            if self.fr_edge_chunks:
-                import os as _os
+            import os as _os
 
+            if self.fr_edge_chunks:
                 _os.environ["NEQUIP_FR_EDGE_CHUNKS"] = str(self.fr_edge_chunks)
+            else:
+                # the config field is authoritative: clear any env value left
+                # by an earlier module in this process so fr_edge_chunks=0
+                # really turns chunking off (ADVICE r4)
+                _os.environ.pop("NEQUIP_FR_EDGE_CHUNKS", None)
             return self._make_train_step_fr(axis_name)
 
         def train_step(state: TrainState, batch: dict, loss_coeffs=None, lr_scale=None):

@@ -111,7 +111,7 @@ def test_headline_prefers_big_f32_and_nulls_mixed_precision(bench, capsys):
 
 def test_train_ladder_final_rung_is_edge_chunks(bench, monkeypatch):
     """When fr + full remat still OOMs, the ladder's last rung turns on the
-    edge-chunked fr sweep (fr_chunks=16, save_tp) before giving up."""
+    edge-chunked fr sweep (fr_chunks=8, save_tp) before giving up."""
     calls = []
 
     def fake_once(n_atoms, mode, tp_impl, dtype, n_steps, remat, tf32, fgm,
