@@ -420,7 +420,14 @@ def _run_case_once(
             )
             state = module.init_state()
             coeffs = module.loss.coeff_vector()
-            step = jax.jit(module.make_train_step(), donate_argnums=(0,))
+            # NO buffer donation: aliased executables run ~30x slower on this
+            # runtime (r5 attribution — the entire 16.6 s/step r4 train row
+            # was donation; see utils.global_state.donate_argnums)
+            from nequip_tpu.utils.global_state import donate_argnums
+
+            step = jax.jit(
+                module.make_train_step(), donate_argnums=donate_argnums(0)
+            )
             lowered = step.lower(state, data, coeffs)
             compiled = lowered.compile()
             flops = _flops_of(compiled)
@@ -619,9 +626,14 @@ def main():
     # plausible driver timeout.  emit() prints best-so-far after EVERY case,
     # so even a hard kill mid-matrix leaves the last good line.
     # r3 post-mortem: the 1500 s self-imposed budget expired with 6 of 10
-    # rows unrun while the DRIVER had headroom (run exited rc=0, no kill).
-    # Default raised to 2700 s; the driver can tighten via the env var.
-    budget_s = float(os.environ.get("NEQUIP_BENCH_BUDGET_S", 2700))
+    # rows unrun while the DRIVER had headroom (rc=0, no kill); r4 raised it
+    # to 2700 s and the DRIVER killed the run at rc=124 with 6 of 12 rows
+    # missing.  Two rc=124 kills (r2, r4) bound the driver window from
+    # below: the budget must leave the driver margin.  Default 1800 s
+    # (VERDICT r4 item 2), case timeouts capped at 600 s, and the round's
+    # compile cache is pre-warmed interactively so the driver run mostly
+    # hits /tmp/jax_cache.
+    budget_s = float(os.environ.get("NEQUIP_BENCH_BUDGET_S", 1800))
     t_start = time.perf_counter()
 
     def emit(cases):
@@ -771,7 +783,9 @@ def main():
         fr_chunks = 8 if (mode == "train" and atoms > 50000) else None
         if subproc:
             elapsed = time.perf_counter() - t_start
-            timeout_s = min(900.0, max(420.0, budget_s - elapsed + 120.0))
+            # cap 600 s: in r4 two 900 s rows ate a third of the budget and
+            # the driver killed the matrix before the 100k/md rows ran
+            timeout_s = min(600.0, max(300.0, budget_s - elapsed + 120.0))
             case = _run_case_guarded(
                 atoms, mode, impl, dt_, steps, remat, tf32, fgm, timeout_s,
                 fr_chunks=fr_chunks,

@@ -354,7 +354,11 @@ class MDDriver:
                 state = (pos, state[1], forces) + tuple(state[3:])
                 return state, new_rest, new_nl_pos, overflow_any | overflow
 
-            self._fused_block = jax.jit(fused, donate_argnums=(0, 1, 2, 3))
+            from ..utils.global_state import donate_argnums
+
+            self._fused_block = jax.jit(
+                fused, donate_argnums=donate_argnums(0, 1, 2, 3)
+            )
         return self._fused_block
 
     def _potential_energy(self, pos, batch_rest=None) -> float:

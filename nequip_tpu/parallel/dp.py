@@ -115,7 +115,9 @@ class DataParallel:
             )
             return smapped(state, batch, loss_coeffs, lr_scale)
 
-        return jax.jit(wrapped, donate_argnums=(0,))
+        from ..utils.global_state import donate_argnums
+
+        return jax.jit(wrapped, donate_argnums=donate_argnums(0))
 
     def make_eval_step(self, metrics=None) -> Callable:
         mgr = metrics or self.module.val_metrics
@@ -140,7 +142,9 @@ class DataParallel:
             # interface; per-device model outputs are not gathered under DP
             return smapped(params, metrics_state, batch), None
 
-        return jax.jit(wrapped, donate_argnums=(1,))
+        from ..utils.global_state import donate_argnums
+
+        return jax.jit(wrapped, donate_argnums=donate_argnums(1))
 
     # ------------------------------------------------------------------
     def replicate_state(self, state):

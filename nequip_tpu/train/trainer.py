@@ -135,7 +135,13 @@ class Trainer:
             log.info(f"data-parallel training over {n_dev} devices")
             return
         self._dp = None
-        self._train_step = jax.jit(module.make_train_step(), donate_argnums=(0,))
+        # donation is default-OFF: input-output-aliased executables run ~30x
+        # slower on the measured TPU runtime (utils.global_state.donate_argnums)
+        from ..utils.global_state import donate_argnums
+
+        self._train_step = jax.jit(
+            module.make_train_step(), donate_argnums=donate_argnums(0)
+        )
         self._eval_steps = {}
         for name, mgr in (
             ("val", module.val_metrics),
@@ -143,7 +149,7 @@ class Trainer:
         ):
             if mgr is not None:
                 self._eval_steps[name] = jax.jit(
-                    module.make_eval_step(mgr), donate_argnums=(1,)
+                    module.make_eval_step(mgr), donate_argnums=donate_argnums(1)
                 )
 
     def _batches(self, loader):

@@ -63,3 +63,25 @@ def get_latest_global_state() -> dict:
         "allow_tf32": _GLOBAL_STATE["allow_tf32"],
         "x64": bool(jax.config.jax_enable_x64),
     }
+
+
+def donate_argnums(*nums: int) -> tuple:
+    """Buffer-donation policy for the hot step functions — DEFAULT OFF.
+
+    Measured on the tunneled v5e (ROUND5_NOTES, 2026-08-19): jitting the
+    SAME fr train step with ``donate_argnums=(0,)`` runs at 16.3 s/step vs
+    0.47 s/step without donation at 23k atoms — a 34x runtime pathology of
+    input-output-aliased executables on this TPU runtime, reproduced across
+    processes and sessions (it was the entire mystery gap between the
+    official 1,405 atom-steps/s train row and the ~46k the program's pieces
+    sum to).  The memory donation saves here (params/opt-state/EMA, a few
+    MB; batch arrays at most ~100s of MB at 100k atoms) is noise next to
+    the multi-GiB activation envelope, so donation defaults OFF everywhere
+    and ``NEQUIP_DONATE_BUFFERS=1`` re-enables it for runtimes where
+    aliasing is free.
+    """
+    import os
+
+    if os.environ.get("NEQUIP_DONATE_BUFFERS", "0") == "1":
+        return tuple(nums)
+    return ()

@@ -238,7 +238,9 @@ def main():
                       lambda: pass1(state.params, data),
                       lambda o: np.asarray(o[1]))
     if 6 in stages:
-        st = state
+        # donation deletes the input buffers — run on a private copy so the
+        # shared `state` stays alive for other stages
+        st = jax.tree.map(jnp.array, state)
         def run6():
             nonlocal st
             st, logs = step(st, data, coeffs)
@@ -258,6 +260,60 @@ def main():
         r[9] = timeit("9. full step, NO donation",
                       lambda: step9(state, data, coeffs)[1],
                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 10 in stages:
+        # like 9 but THREADING the state (the bench/production pattern:
+        # step k+1 consumes step k's output state)
+        st10 = state
+        def run10():
+            nonlocal st10
+            st10, logs = step9(st10, data, coeffs)
+            return logs
+        r[10] = timeit("10. full step, no donation, THREADED", run10,
+                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 11 in stages:
+        # discriminator: re-feed a FIXED executable-produced state.  Slow =>
+        # the produced arrays themselves are the problem (layout mismatch
+        # forcing a per-call relayout/transfer); fast => the dependency
+        # chain is.
+        st11, _ = step9(state, data, coeffs)
+        jax.block_until_ready(st11)
+        r[11] = timeit("11. full step, FIXED output-state input",
+                       lambda: step9(st11, data, coeffs)[1],
+                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 12 in stages:
+        # second discriminator: thread ONLY the params leaf (fresh optimizer
+        # state each call) — isolates which part of TrainState is slow
+        st12, _ = step9(state, data, coeffs)
+        jax.block_until_ready(st12)
+        def run12():
+            st = state.replace(params=st12.params)
+            return step9(st, data, coeffs)[1]
+        r[12] = timeit("12. full step, produced PARAMS only",
+                       run12,
+                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 13 in stages:
+        # threaded + block_until_ready between steps: if fast, the threaded
+        # slowness is a client-side pathology of dispatching with PENDING
+        # input handles (and one blocking round-trip per step is the fix)
+        st13 = state
+        def run13():
+            nonlocal st13
+            st13, logs = step9(st13, data, coeffs)
+            jax.block_until_ready(st13)
+            return logs
+        r[13] = timeit("13. threaded + block_until_ready/step", run13,
+                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 14 in stages:
+        # threaded + a SCALAR host sync per step (np.asarray of the loss):
+        # cheaper than blocking the whole state if it also restores speed
+        st14 = state
+        def run14():
+            nonlocal st14
+            st14, logs = step9(st14, data, coeffs)
+            np.asarray(logs["train_loss_step/weighted_sum"])
+            return logs
+        r[14] = timeit("14. threaded + scalar sync/step", run14,
+                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
 
     if 4 in r and 5 in r and 6 in r:
         print(f"\n  pass1 + pass2 = {r[5] + r[4]:.1f} ms; "

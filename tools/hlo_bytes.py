@@ -121,7 +121,8 @@ def main():
             force_grad_mode=os.environ.get("NEQUIP_BENCH_FORCE_GRAD", "rr"),
         )
         state = module.init_state()
-        step = jax.jit(module.make_train_step(), donate_argnums=(0,))
+        from nequip_tpu.utils.global_state import donate_argnums
+        step = jax.jit(module.make_train_step(), donate_argnums=donate_argnums(0))
         compiled = step.lower(state, data, module.loss.coeff_vector()).compile()
     else:
         compiled = jax.jit(lambda p, d: model(p, d)).lower(params, data).compile()

@@ -62,7 +62,8 @@ def main():
                     ),
                 )
                 state = module.init_state()
-                step = jax.jit(module.make_train_step(), donate_argnums=(0,))
+                from nequip_tpu.utils.global_state import donate_argnums
+                step = jax.jit(module.make_train_step(), donate_argnums=donate_argnums(0))
                 compiled = step.lower(
                     state, data, module.loss.coeff_vector()
                 ).compile()
