@@ -15,6 +15,7 @@ constants.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -440,10 +441,19 @@ class MDDriver:
             batch_rest = jax.tree.map(jnp.asarray, self._batch_rest)
             nl_pos = jnp.asarray(self._nl_pos, dtype=self._dtype)
             overflow_any = jnp.zeros((), bool)
+            step_sync = os.environ.get("NEQUIP_STEP_SYNC", "1") == "1"
             while steps_done < n_steps:
                 state, batch_rest, nl_pos, overflow_any = fused(
                     state, batch_rest, nl_pos, overflow_any
                 )
+                if step_sync:
+                    # one SCALAR sync per block: chaining a dispatch off
+                    # in-flight outputs takes a ~20x slower client path on
+                    # the measured TPU runtime (ROUND5_NOTES); this also
+                    # surfaces NL-capacity overflow promptly.  Never
+                    # block_until_ready the whole state here — that fetches
+                    # it.  NEQUIP_STEP_SYNC=0 restores free-running blocks.
+                    np.asarray(overflow_any)
                 steps_done += self.steps_per_block
                 self.step_count += self.steps_per_block
                 n_blocks += 1

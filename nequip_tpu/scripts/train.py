@@ -137,6 +137,14 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
 
+    # some platform plugins (axon TPU) OVERRIDE the JAX_PLATFORMS env var;
+    # the config API is authoritative, so honor the env var here explicitly
+    # (a CPU-pinned training run must not silently land on a shared chip)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s [%(levelname)s] %(message)s"
     )

@@ -57,6 +57,8 @@ class Trainer:
         self.ckpt_dir = ckpt_dir
         self.check_val_every_n_epoch = int(check_val_every_n_epoch)
         self.log_every_n_steps = int(log_every_n_steps)
+        # per-step scalar sync, default on (see the train loop comment)
+        self._step_sync = os.environ.get("NEQUIP_STEP_SYNC", "1") == "1"
         self.monitor = monitor
         self.monitor_mode = monitor_mode
         assert monitor_mode in ("min", "max")
@@ -221,6 +223,16 @@ class Trainer:
                 self.state, logs = self._train_step(
                     self.state, batch, self._loss_coeffs, self._lr_scale
                 )
+                if self._step_sync:
+                    # ONE scalar host sync per step: dispatching the next
+                    # step while the previous is in flight takes a ~20x
+                    # slower client path on the measured TPU runtime
+                    # (ROUND5_NOTES: threaded 9.6 s/step vs 0.50 s with this
+                    # sync at 23k atoms; do NOT block_until_ready the whole
+                    # state — that fetches it, 17.9 s/step).  Costs one
+                    # dispatch round-trip (~25 ms); NEQUIP_STEP_SYNC=0 for
+                    # runtimes where async chaining is healthy.
+                    np.asarray(logs["train_loss_step/weighted_sum"])
                 self.global_step += 1
                 n_batches += 1
                 if self.global_step % self.log_every_n_steps == 0:

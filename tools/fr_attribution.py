@@ -314,6 +314,22 @@ def main():
             return logs
         r[14] = timeit("14. threaded + scalar sync/step", run14,
                        lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 15 in stages:
+        # exactly the bench path: AOT step.lower().compile() FIRST, then the
+        # jit call loop (threaded + scalar sync).  If slow while 14 is fast,
+        # the bench's AOT pre-compile poisons the jit's own executable.
+        step15 = jax.jit(module.make_train_step())
+        lowered = step15.lower(state, data, coeffs)
+        compiled = lowered.compile()
+        del lowered
+        st15 = state
+        def run15():
+            nonlocal st15
+            st15, logs = step15(st15, data, coeffs)
+            np.asarray(logs["train_loss_step/weighted_sum"])
+            return logs
+        r[15] = timeit("15. stage14 + bench's AOT precompile", run15,
+                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
 
     if 4 in r and 5 in r and 6 in r:
         print(f"\n  pass1 + pass2 = {r[5] + r[4]:.1f} ms; "
