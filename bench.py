@@ -441,16 +441,27 @@ def _run_case_once(
             compiled = lowered.compile()
             flops = _flops_of(compiled)
             state, logs = step(state, data, coeffs)
-            np.asarray(logs["train_loss_step/weighted_sum"])  # tunnel-safe sync
-            t0 = time.perf_counter()
+            np.asarray(state.step)  # tunnel-safe sync
+            # per-step sync IS the timing boundary, so time each step
+            # individually and report the MEDIAN: co-tenant load swings the
+            # same executable 0.5 <-> 15 s/step minute-to-minute (r5 session
+            # 4), and a single mean window records whichever state the chip
+            # happened to be in.  The sync must await a THREADED-STATE leaf
+            # (state.step): syncing the loss (a side output) does NOT settle
+            # the state handles and leaves the ~25x-slower in-flight client
+            # path (ROUND5_NOTES stages 14 vs 16: 12.4 s vs 0.50 s).  The
+            # production Trainer loop syncs the same way.
+            per_step = []
             for _ in range(n_steps):
+                t0 = time.perf_counter()
                 state, logs = step(state, data, coeffs)
-                # ONE scalar sync per step — dispatching with the previous
-                # step's state still in flight takes a ~20x slower client
-                # path on this runtime (ROUND5_NOTES stage 10 vs 14); the
-                # production Trainer loop syncs the same way
-                np.asarray(logs["train_loss_step/weighted_sum"])
-            dt = (time.perf_counter() - t0) / n_steps
+                np.asarray(state.step)
+                per_step.append(time.perf_counter() - t0)
+            dt = float(np.median(per_step))
+            step_extras = {
+                "step_ms_min": round(min(per_step) * 1e3, 2),
+                "step_ms_max": round(max(per_step) * 1e3, 2),
+            }
         else:
             fwd = jax.jit(lambda p, d: model(p, d))
             compiled = fwd.lower(params, data).compile()
@@ -503,6 +514,7 @@ def _run_case_once(
             "flops_source": flops_source,
             "tflops_per_s": round(tflops, 3) if tflops is not None else None,
             "mfu": round(flops / dt / peak, 5) if np.isfinite(flops) else None,
+            **(step_extras if mode == "train" else {}),
         }
     except Exception as e:  # OOM at large sizes is a result, not a crash
         return {

@@ -580,20 +580,49 @@ def _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):
     """
     E = edge_dst.shape[0]
     T = num_nodes // rows
-    # Both neighborlist backends emit edges center-major (host C++ loops over
-    # centers, csrc/neighborlist.cpp:230; the device cell list fills slot
-    # i*k_max+k with dst=i even for masked slots), so edge_dst is usually
-    # already non-decreasing and the stable argsort is the identity.  A
-    # million-edge argsort is seconds-slow on TPU (bitonic network), so
-    # detect sortedness at runtime and lax.cond it away — bit-identical,
-    # because stable argsort of a sorted array IS iota.
     iota = jnp.arange(E, dtype=jnp.int32)
-    is_sorted = jnp.all(edge_dst[1:] >= edge_dst[:-1]) if E > 1 else jnp.bool_(True)
-    order = jax.lax.cond(
-        is_sorted,
-        lambda: iota,
-        lambda: jnp.argsort(edge_dst, stable=True).astype(jnp.int32),
-    )
+    if (
+        _os.environ.get("NEQUIP_RELAYOUT_SRC_SORT", "0") == "1"
+        and edge_src is not None
+    ):
+        # Within-tile src sort: the one-hot dst scatter is order-agnostic
+        # inside a node tile (``rel_dst`` carries each slot's row), so order
+        # each tile's edge run by ascending src — every downstream x gather
+        # (``x_lay`` forward/backward, the fr tangent gathers) then reads
+        # node rows near-sequentially instead of randomly.  Composite key
+        # (dst_tile, src); two-pass stable argsort when the single int32 key
+        # would overflow (>~1M nodes).  Opt-in (layout-build-time cost: a
+        # full argsort instead of the sortedness fast path).
+        if T * num_nodes < 2**31:
+            key = (edge_dst // rows) * num_nodes + edge_src
+            is_sorted = jnp.all(key[1:] >= key[:-1]) if E > 1 else jnp.bool_(True)
+            order = jax.lax.cond(
+                is_sorted,
+                lambda: iota,
+                lambda: jnp.argsort(key, stable=True).astype(jnp.int32),
+            )
+        else:
+            o1 = jnp.argsort(edge_src, stable=True).astype(jnp.int32)
+            o2 = jnp.argsort(
+                _take_ib(edge_dst, o1) // rows, stable=True
+            ).astype(jnp.int32)
+            order = _take_ib(o1, o2)
+    else:
+        # Both neighborlist backends emit edges center-major (host C++ loops
+        # over centers, csrc/neighborlist.cpp:230; the device cell list fills
+        # slot i*k_max+k with dst=i even for masked slots), so edge_dst is
+        # usually already non-decreasing and the stable argsort is the
+        # identity.  A million-edge argsort is seconds-slow on TPU (bitonic
+        # network), so detect sortedness at runtime and lax.cond it away —
+        # bit-identical, because stable argsort of a sorted array IS iota.
+        is_sorted = (
+            jnp.all(edge_dst[1:] >= edge_dst[:-1]) if E > 1 else jnp.bool_(True)
+        )
+        order = jax.lax.cond(
+            is_sorted,
+            lambda: iota,
+            lambda: jnp.argsort(edge_dst, stable=True).astype(jnp.int32),
+        )
     dst_sorted = _take_ib(edge_dst, order)
     tile_sorted = dst_sorted // rows
 

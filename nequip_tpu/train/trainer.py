@@ -224,15 +224,18 @@ class Trainer:
                     self.state, batch, self._loss_coeffs, self._lr_scale
                 )
                 if self._step_sync:
-                    # ONE scalar host sync per step: dispatching the next
-                    # step while the previous is in flight takes a ~20x
-                    # slower client path on the measured TPU runtime
-                    # (ROUND5_NOTES: threaded 9.6 s/step vs 0.50 s with this
-                    # sync at 23k atoms; do NOT block_until_ready the whole
-                    # state — that fetches it, 17.9 s/step).  Costs one
-                    # dispatch round-trip (~25 ms); NEQUIP_STEP_SYNC=0 for
-                    # runtimes where async chaining is healthy.
-                    np.asarray(logs["train_loss_step/weighted_sum"])
+                    # ONE scalar host sync per step, ON A LEAF OF THE
+                    # THREADED STATE: dispatching the next step while the
+                    # previous state is in flight takes a ~25x slower client
+                    # path on the measured TPU runtime, and syncing a SIDE
+                    # output (the loss scalar) does NOT settle the state
+                    # handles (ROUND5_NOTES stages 14 vs 16: loss-sync
+                    # 12.4 s/step, state.step-sync 0.50 s at 23k atoms).  Do
+                    # NOT block_until_ready the whole state — that fetches
+                    # it (17.9 s/step).  Costs one dispatch round-trip
+                    # (~25 ms); NEQUIP_STEP_SYNC=0 for runtimes where async
+                    # chaining is healthy.
+                    np.asarray(self.state.step)
                 self.global_step += 1
                 n_batches += 1
                 if self.global_step % self.log_every_n_steps == 0:

@@ -201,6 +201,77 @@ def test_param_grad_parity_with_relayout(model_pair):
     )
 
 
+def test_src_sort_stream_invariants(monkeypatch):
+    """NEQUIP_RELAYOUT_SRC_SORT=1: same multiset, tile-sorted dst, src
+    ascending within every tile's live run (the x-gather locality lever)."""
+    monkeypatch.setenv("NEQUIP_RELAYOUT_SRC_SORT", "1")
+    data = _synthetic_stream(seed=5)
+    out = relayout_edge_stream(data)
+    lay = out[layout_key()]
+    assert lay["take_idx"] is None
+    assert _masked_edge_multiset(out) == _masked_edge_multiset(data)
+    new_dst = np.asarray(out[_keys.EDGE_INDEX_KEY][0])
+    new_src = np.asarray(out[_keys.EDGE_INDEX_KEY][1])
+    m = np.asarray(out[_keys.EDGE_MASK_KEY])
+    rel = np.asarray(lay["rel_dst"])
+    assert np.all(rel[~m] == -1) and np.all(rel[m] >= 0)
+    # tiles stay contiguous and ascending (the one-hot scatter's only need)
+    tile = new_dst // DEFAULT_ROWS
+    assert np.all(np.diff(tile) >= 0)
+    # within each tile, live srcs ascend (padding self-edges on the tile's
+    # last node may interleave key-wise — the backward's bwd_block_e
+    # re-chunk then pays its argsort at layout-BUILD time, not per step)
+    for t in np.unique(tile):
+        s = new_src[(tile == t) & m]
+        assert np.all(np.diff(s) >= 0), f"tile {t} src run not ascending"
+    # rel_dst consistent with the permuted dst stream on live slots
+    tiles = np.repeat(np.asarray(lay["chunk_tile"]), DEFAULT_BLOCK_E)
+    assert np.all(new_dst[m] == tiles[m] * DEFAULT_ROWS + rel[m])
+
+
+def test_src_sort_model_parity(monkeypatch):
+    """Pallas model with the src-sorted relayout == XLA model (E/F/grads)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _example_model_and_batch
+
+    monkeypatch.setenv("NEQUIP_RELAYOUT_SRC_SORT", "1")
+    m_x, p_x, d_x = _example_model_and_batch(n_atoms=108, tp_impl="xla")
+    m_p, p_p, d_p = _example_model_and_batch(n_atoms=108, tp_impl="pallas")
+    out_x = m_x(p_x, d_x)
+    out_p = m_p(p_p, d_p)
+    np.testing.assert_allclose(
+        np.asarray(out_p[_keys.TOTAL_ENERGY_KEY]),
+        np.asarray(out_x[_keys.TOTAL_ENERGY_KEY]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p[_keys.FORCE_KEY]),
+        np.asarray(out_x[_keys.FORCE_KEY]),
+        rtol=1e-4, atol=1e-5,
+    )
+    rng = np.random.RandomState(7)
+    v_f = jnp.asarray(rng.standard_normal(d_x[_keys.POSITIONS_KEY].shape))
+
+    def loss(model, params, data):
+        out = model(params, data)
+        nm = data[_keys.NODE_MASK_KEY][:, None]
+        return (
+            jnp.sum(out[_keys.TOTAL_ENERGY_KEY])
+            + jnp.sum(jnp.where(nm, out[_keys.FORCE_KEY] * v_f, 0.0))
+        )
+
+    g_x = jax.grad(lambda p: loss(m_x, p, d_x))(p_x)
+    g_p = jax.grad(lambda p: loss(m_p, p, d_p))(p_p)
+    flat_x, _ = jax.flatten_util.ravel_pytree(g_x)
+    flat_p, _ = jax.flatten_util.ravel_pytree(g_p)
+    scale = np.maximum(np.abs(np.asarray(flat_x)).max(), 1e-30)
+    np.testing.assert_allclose(
+        np.asarray(flat_p) / scale, np.asarray(flat_x) / scale, atol=2e-4
+    )
+
+
 def test_fr_equals_rr_on_relaid_stream(model_pair):
     _, (m_p, p_p, d_p) = model_pair
     fso = m_p.model

@@ -330,6 +330,79 @@ def main():
             return logs
         r[15] = timeit("15. stage14 + bench's AOT precompile", run15,
                        lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 16 in stages:
+        # threaded + sync on a STATE leaf scalar (the produced state's step
+        # counter) instead of the loss: if fast while 14 is slow, awaiting a
+        # state output settles the state handles in a way the loss scalar
+        # (a separate output) does not
+        st16 = state
+        def run16():
+            nonlocal st16
+            st16, logs = step9(st16, data, coeffs)
+            np.asarray(st16.step)
+            return logs
+        r[16] = timeit("16. threaded + state.step sync/step", run16,
+                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 17 in stages:
+        # threaded + BOTH syncs (loss + state.step)
+        st17 = state
+        def run17():
+            nonlocal st17
+            st17, logs = step9(st17, data, coeffs)
+            np.asarray(logs["train_loss_step/weighted_sum"])
+            np.asarray(st17.step)
+            return logs
+        r[17] = timeit("17. threaded + loss AND state.step sync", run17,
+                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 18 in stages:
+        # the EXACT bench path post-fix: AOT lower().compile() first, then
+        # the jit loop threaded + state.step sync — isolates whether the AOT
+        # precompile poisons the STATE-synced loop (stage 15 only tested it
+        # against the loss-synced one)
+        step18 = jax.jit(module.make_train_step())
+        step18.lower(state, data, coeffs).compile()
+        st18 = state
+        def run18():
+            nonlocal st18
+            st18, logs = step18(st18, data, coeffs)
+            np.asarray(st18.step)
+            return logs
+        r[18] = timeit("18. AOT precompile + threaded + state.step sync", run18,
+                       lambda o: np.asarray(o["train_loss_step/weighted_sum"]))
+    if 19 in stages:
+        # decisive interleave: alternate unthreaded-control and
+        # threaded+state-sync trios in ONE process.  If the contrast holds
+        # within each round, threading is the mechanism; if both swing
+        # together, it's co-tenant chip state and the sync variant was a red
+        # herring.  memory_stats (when the backend reports it) rides along.
+        import time as _t
+        st19 = state
+        def trio(threaded):
+            nonlocal st19
+            ts = []
+            for _ in range(3):
+                t0 = _t.perf_counter()
+                if threaded:
+                    st19, logs = step9(st19, data, coeffs)
+                    np.asarray(st19.step)
+                else:
+                    out_state, logs = step9(state, data, coeffs)
+                    np.asarray(out_state.step)
+                ts.append(_t.perf_counter() - t0)
+            return sorted(ts)[1]
+        # warm
+        _ = trio(False)
+        for rnd in range(4):
+            try:
+                ms = jax.local_devices()[0].memory_stats() or {}
+                free = (ms.get("bytes_limit", 0) - ms.get("bytes_in_use", 0)) / 2**30
+            except Exception:
+                free = float("nan")
+            a = trio(False)
+            b = trio(True)
+            print(f"  19. round {rnd}: unthreaded {a*1e3:8.1f} ms | "
+                  f"threaded+sync {b*1e3:8.1f} ms | free_hbm~{free:.1f} GiB",
+                  flush=True)
 
     if 4 in r and 5 in r and 6 in r:
         print(f"\n  pass1 + pass2 = {r[5] + r[4]:.1f} ms; "

@@ -107,6 +107,38 @@ def bench(fn, *args, steps=8):
     return (time.perf_counter() - t0) / steps
 
 
+def make_idx(pattern, rows, src_rows, block_e, rng):
+    """Index streams with different locality, modelling layout choices.
+
+    * ``random``  — r4 baseline: uniform rows (the un-sorted x_lay gather).
+    * ``sorted``  — globally ascending with duplicates (best case).
+    * ``local``   — per-``block_e`` chunk: ascending draws from a +-window
+      around the chunk's node-tile position — the pattern a within-tile
+      src-sort of the edge stream produces (chunks revisit overlapping
+      windows, rows ascend within each chunk).
+    * ``tilewin`` — like ``local`` but NOT sorted within the chunk
+      (window-local random): isolates window locality from sortedness.
+    """
+    if pattern == "random":
+        v = rng.randint(0, src_rows, rows)
+    elif pattern == "sorted":
+        v = np.sort(rng.randint(0, src_rows, rows))
+    elif pattern in ("local", "tilewin"):
+        G = rows // block_e
+        win = max(4 * block_e, src_rows // 16)  # ~6k-row window at 23k scale
+        v = np.empty(rows, np.int64)
+        for g in range(G):
+            center = int((g + 0.5) * src_rows / G)
+            lo = max(0, min(center - win // 2, src_rows - win))
+            chunk = lo + rng.randint(0, win, block_e)
+            if pattern == "local":
+                chunk = np.sort(chunk)
+            v[g * block_e : (g + 1) * block_e] = chunk
+    else:
+        raise SystemExit(f"unknown --pattern {pattern}")
+    return jnp.asarray(v, dtype=jnp.int32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=430080)  # ~23k-scale E_pal
@@ -115,10 +147,13 @@ def main():
     ap.add_argument("--dtype", type=str, default="float32")
     ap.add_argument("--block-e", type=int, default=512)
     ap.add_argument("--n-buf", type=int, default=16)
+    ap.add_argument("--pattern", type=str, default="random",
+                    help="random|sorted|local|tilewin (see make_idx)")
+    ap.add_argument("--skip-pallas", action="store_true")
     args = ap.parse_args()
 
     rng = np.random.RandomState(0)
-    idx = jnp.asarray(rng.randint(0, args.src_rows, args.rows), dtype=jnp.int32)
+    idx = make_idx(args.pattern, args.rows, args.src_rows, args.block_e, rng)
 
     # XLA gather bandwidth vs row width (is jnp.take width-bound?)
     take = jax.jit(lambda s, i: jnp.take(s, i, axis=0))
@@ -129,13 +164,16 @@ def main():
         nbytes = args.rows * D * src.dtype.itemsize
         dt = bench(take, src, idx)
         print(
-            f"jnp.take  D={D:5d} : {dt * 1e3:8.2f} ms  {nbytes / dt / 1e9:7.1f} GB/s"
+            f"jnp.take[{args.pattern}]  D={D:5d} : {dt * 1e3:8.2f} ms  "
+            f"{nbytes / dt / 1e9:7.1f} GB/s"
         )
 
     src = jnp.asarray(
         rng.standard_normal((args.src_rows, args.dim)), dtype=args.dtype
     )
     nbytes = args.rows * args.dim * src.dtype.itemsize
+    if args.skip_pallas:
+        return
     for n_buf in (8, 16, 32):
         pg = jax.jit(
             functools.partial(
