@@ -209,3 +209,47 @@ def test_fr_training_via_config_matches_rr(tmp_path):
     np.testing.assert_allclose(fr, rr, rtol=1e-10)
     for a, b in zip(final_params(t_rr), final_params(t_fr)):
         np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10)
+
+
+def test_training_accuracy_gate(tmp_path):
+    """Small-budget accuracy gate (VERDICT r4 item 5): the model must FIT
+    exact-LJ labels, not just reduce the loss.
+
+    A 24-frame / 40-epoch / tiny-width run reaches <=10% relative force MAE
+    on noise-free truncated-LJ labels (calibrated 2026-08-20: val forces_mae
+    0.0142 eV/A vs label force RMS 0.151 -> 9.4%); the gate asserts <=15%
+    (1.6x margin for cross-platform f32 accumulation differences).  The
+    full-budget twin of this gate is ``configs/lj_accuracy.yaml`` and its
+    committed record ``docs/accuracy/lj_training_record.json``.
+
+    Parity: the reference's training-converges discipline
+    (``/root/reference/tests/integration/test_train.py``) — strengthened
+    from "loss decreases" to an absolute accuracy bound, possible here
+    because the LJ labels are exact.
+    """
+    cfg = load_cfg(
+        tmp_path,
+        **{
+            "data.split_dataset.dataset.num_frames": 32,
+            "data.split_dataset.train": 24,
+            "data.split_dataset.val": 4,
+            "data.split_dataset.test": 4,
+            "data.train_dataloader.batch_size": 4,
+            "trainer.max_epochs": 40,
+            "training_module.model.model_dtype": "float32",
+        },
+    )
+    t = run_config(cfg)
+    last = t._metrics_rows[-1]
+    mae = float(last["val0_epoch/forces_mae"])
+    # label force RMS computed from the same generator the run used
+    from nequip_tpu.data.dataset import LJTestDataset
+
+    ds = LJTestDataset(num_frames=32, seed=123456)
+    forces = np.concatenate([np.asarray(f["forces"]) for f in ds.frames])
+    rms = float(np.sqrt(np.mean(forces**2)))
+    assert rms > 0.1  # sanity: the dataset really is the rattled-Cu one
+    assert mae <= 0.15 * rms, (
+        f"force MAE {mae:.4f} eV/A is {100 * mae / rms:.1f}% of the label "
+        f"force RMS {rms:.4f} — the model is not fitting exact-LJ labels"
+    )
