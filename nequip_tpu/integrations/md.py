@@ -136,11 +136,28 @@ class MDDriver:
         steps_per_block: int = 10,
         pad_multiple: int = 128,
         nl_backend: str = "host",
+        integration: str = "block",
+        edge_headroom: float = 1.1,
     ):
         """``nl_backend="device"`` rebuilds the neighborlist on the TPU with
         the jittable cell list (``ops.device_neighbor_list``) — skin rebuilds
         then never ship positions/edges across the host link.  Requires a
-        periodic box at least ``3 * (r_max + skin)`` thick per axis."""
+        periodic box at least ``3 * (r_max + skin)`` thick per axis.
+
+        ``integration="block"`` (default) runs ``steps_per_block`` integrator
+        steps inside one jitted program (fastest steady state; compiles a
+        block program in addition to the force program).
+        ``integration="host"`` integrates on the host with one jitted model
+        call per step (the ASE-calculator pattern of the reference,
+        ``/root/reference/nequip/ase/nequip_calculator.py``): ONE compiled
+        program total, so time-to-first-step is roughly halved — use for
+        short runs or cold processes.  Requires ``nl_backend="host"``.
+
+        ``edge_headroom`` over-allocates the edge capacity at the first
+        neighborlist build so thermal density fluctuations at skin rebuilds
+        do not outgrow the capacity (a capacity change invalidates every
+        compiled program — minutes of recompile mid-run); the padded slots
+        are masked and cost ~(headroom-1) extra kernel time."""
         self.model = model
         self.params = params
         self.integrator = integrator
@@ -148,7 +165,13 @@ class MDDriver:
         self.steps_per_block = int(steps_per_block)
         self.r_max = float(model.r_max)
         assert nl_backend in ("host", "device")
+        assert integration in ("block", "host")
+        assert not (integration == "host" and nl_backend == "device"), (
+            "integration='host' pairs with nl_backend='host'"
+        )
         self.nl_backend = nl_backend
+        self.integration = integration
+        self.edge_headroom = float(edge_headroom)
 
         data = from_dict(dict(frame))
         assert _keys.ATOM_TYPE_KEY in data, "frame must carry atom_types"
@@ -173,8 +196,21 @@ class MDDriver:
         self._n = batch[_keys.POSITIONS_KEY].shape[0]
         e = batch[_keys.EDGE_INDEX_KEY].shape[1]
         cap_n = round_up(self._n, 128)
-        cap_e = round_up(e, 256)
+        if getattr(self, "_cap", None) is None:
+            # headroom on the FIRST build: skin rebuilds at finite temperature
+            # fluctuate the edge count by far more than a rounding slack, and
+            # outgrowing the capacity forces a full recompile mid-run
+            cap_e = round_up(int(e * self.edge_headroom), 256)
+        else:
+            cap_e = round_up(e, 256)
         if getattr(self, "_cap", None) is None or cap_n > self._cap[0] or cap_e > self._cap[1]:
+            if getattr(self, "_cap", None) is not None:
+                # grow with fresh headroom: one recompile, not one per rebuild
+                cap_e = round_up(int(e * self.edge_headroom), 256)
+                log.warning(
+                    f"MD edge capacity outgrown ({e} > {self._cap[1]}): "
+                    f"re-padding to {cap_e} and recompiling"
+                )
             self._cap = (cap_n, cap_e)
             self._compiled_block = None  # capacity change forces recompile
         padded = pad_batch(batch, self._cap[0], self._cap[1], 2)
@@ -398,6 +434,76 @@ class MDDriver:
         for t, (x, y, z) in zip(types, pos):
             fh.write(f"{names[int(t)]} {x:.8f} {y:.8f} {z:.8f}\n")
 
+    def _run_host(self, pos, vel, n_steps, log_every_blocks, traj_path):
+        """Per-step host integration (the reference's ASE-calculator MD
+        pattern, ``/root/reference/nequip/ase/nequip_calculator.py``): numpy
+        integrator state, one jitted model call per step.  Only the force
+        program ever compiles — roughly half the time-to-first-step of the
+        jitted block loop — at the cost of one dispatch round-trip and an
+        (N, 3) force fetch per step."""
+        self._block_fn()  # defines _force_fn (jit is lazy: the block program
+        # itself is never called on this path, hence never compiled)
+        dtype = self._dtype
+
+        def host_force(pos_np):
+            return np.asarray(
+                self._force_fn(jnp.asarray(pos_np, dtype=dtype), self._batch_rest)
+            )
+
+        step = self.integrator.make_step(host_force, np.asarray(self.masses))
+        state = (
+            np.asarray(pos),
+            np.asarray(vel),
+            host_force(np.asarray(pos)),
+            np.asarray(self.integrator.init_aux()),
+        )
+        thermo: List[dict] = []
+        traj_fh = open(traj_path, "a") if traj_path is not None else None
+        if log_every_blocks:
+            thermo.append(self._thermo_row(state))
+            if traj_fh:
+                self._write_xyz_frame(traj_fh, state, f"step={self.step_count}")
+        n_blocks = 0
+        for i in range(int(n_steps)):
+            # re-pin the state to host numpy: integrators that use jnp
+            # reductions (NoseHoover's bath KE) would otherwise promote the
+            # whole state to device arrays and turn every later arithmetic op
+            # into an eager tunneled dispatch
+            state = tuple(np.asarray(s) for s in step(state))
+            self.step_count += 1
+            disp = np.linalg.norm(state[0] - self._nl_pos, axis=1).max()
+            if disp > 0.5 * self.skin:
+                self._frame[_keys.POSITIONS_KEY] = np.asarray(state[0])
+                # capacity is stable under edge_headroom, so the compiled
+                # force program is reused with the re-padded batch
+                self._build_neighborlist()
+            if (i + 1) % self.steps_per_block == 0:
+                n_blocks += 1
+                if log_every_blocks and n_blocks % log_every_blocks == 0:
+                    row = self._thermo_row(state)
+                    thermo.append(row)
+                    log.info(
+                        f"MD step {row['step']}: PE={row['potential_energy']:.6f} "
+                        f"KE={row['kinetic_energy']:.6f} T={row['temperature_K']:.1f}K"
+                    )
+                    if traj_fh:
+                        self._write_xyz_frame(
+                            traj_fh, state, f"step={self.step_count}"
+                        )
+        if traj_fh:
+            traj_fh.close()
+        pos, vel, forces, aux = state
+        return {
+            "positions": np.asarray(pos),
+            "velocities": np.asarray(vel),
+            "forces": np.asarray(forces),
+            "aux": np.asarray(aux),
+            "kinetic_energy": float(
+                0.5 * np.sum(np.asarray(self.masses)[:, None] * np.asarray(vel) ** 2)
+            ),
+            "thermo": thermo,
+        }
+
     def run(
         self,
         n_steps: int,
@@ -418,6 +524,10 @@ class MDDriver:
             if velocities is not None
             else jnp.zeros_like(pos)
         )
+        if self.integration == "host":
+            return self._run_host(
+                pos, vel, n_steps, log_every_blocks, traj_path
+            )
         block = self._block_fn()
         forces = self._force_fn(pos, self._batch_rest)
         aux = self.integrator.init_aux()

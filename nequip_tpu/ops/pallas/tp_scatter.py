@@ -339,6 +339,33 @@ def attach_edge_layouts(data, with_backward: bool = True):
     combos = [(DEFAULT_ROWS, DEFAULT_BLOCK_E)]
     if with_backward and bwd_block_e() != DEFAULT_BLOCK_E:
         combos.append((DEFAULT_ROWS, bwd_block_e()))
+
+    # Concrete (untraced) inputs: run the layout computation eagerly on the
+    # HOST CPU backend and ship the finished layouts in one device_put.  The
+    # pure-jnp path dispatches dozens of tiny ops; on a tunneled TPU runtime
+    # each eager op pays the ~28 ms dispatch RTT, which measured ~120 s per
+    # attach at 900k edges (tools/md_case_attribution.py) vs ~13 s on host.
+    # Traced inputs (the in-graph MD rebuild path) keep the jnp path.
+    is_concrete = not isinstance(edge_dst, jax.core.Tracer)
+    if is_concrete and jax.default_backend() != "cpu":
+        ed = np.asarray(edge_dst)
+        es = np.asarray(edge_src)
+        em = np.asarray(edge_mask)
+        cpu = jax.local_devices(backend="cpu")[0]
+        for rows, block_e in combos:
+            if num_nodes % rows != 0:
+                continue
+            with jax.default_device(cpu):
+                lay = compute_edge_layout(
+                    jnp.asarray(ed), jnp.asarray(es), jnp.asarray(em),
+                    num_nodes, rows, block_e, with_dx=True,
+                )
+                lay = jax.tree.map(np.asarray, lay)
+            # one batched transfer to the default (TPU) device so the hot
+            # loop never re-ships host arrays per call
+            out[layout_key(rows, block_e)] = jax.device_put(lay)
+        return out
+
     for rows, block_e in combos:
         if num_nodes % rows != 0:
             continue  # capacity not tile-aligned: kernels fall back in-graph

@@ -472,3 +472,50 @@ def test_capacity_ladder_export(ckpt, tmp_path):
     # beyond the top rung: a clear, actionable error (no silent truncation)
     with pytest.raises(ValueError, match="capacity rung"):
         calc.calculate(fcc_frame(6))
+
+
+def test_md_host_integration_matches_block(ckpt):
+    """integration="host" (per-step host loop, one compiled program — the
+    bench md row's mode) reproduces the jitted block loop's trajectory,
+    including through skin rebuilds."""
+    from nequip_tpu.model import ModelFromCheckpoint
+    from nequip_tpu.integrations import MDDriver, NoseHoover
+    from nequip_tpu.data.dataset import LJTestDataset
+
+    path, _ = ckpt
+    model, params = ModelFromCheckpoint(path)
+    ds = LJTestDataset(supercell=(3, 3, 3), num_frames=1, seed=31)
+    n = ds.frames[0][_keys.POSITIONS_KEY].shape[0]
+    frame = {
+        _keys.POSITIONS_KEY: ds.frames[0][_keys.POSITIONS_KEY],
+        _keys.CELL_KEY: ds.frames[0][_keys.CELL_KEY],
+        _keys.PBC_KEY: np.array([True] * 3),
+        _keys.ATOM_TYPE_KEY: np.zeros(n, dtype=int),
+    }
+    r = np.random.RandomState(3)
+    v0 = 0.02 * r.standard_normal((n, 3))
+
+    outs = {}
+    for integration in ("block", "host"):
+        driver = MDDriver(
+            model, params, dict(frame),
+            # NoseHoover: exercises the aux (bath) variable and the jnp
+            # reductions in its step on the host path
+            integrator=NoseHoover(dt_fs=2.0, temperature_K=300.0),
+            masses=np.full(n, 63.5),
+            skin=1e-6,  # rebuild every step/block: exercises repadding
+            steps_per_block=5,
+            integration=integration,
+        )
+        outs[integration] = driver.run(10, velocities=v0.copy())
+        assert driver.step_count == 10
+
+    np.testing.assert_allclose(
+        outs["host"]["positions"], outs["block"]["positions"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        outs["host"]["forces"], outs["block"]["forces"], atol=1e-8
+    )
+    np.testing.assert_allclose(
+        outs["host"]["aux"], outs["block"]["aux"], atol=1e-10
+    )

@@ -299,3 +299,27 @@ def test_fr_equals_rr_on_relaid_stream(model_pair):
     np.testing.assert_allclose(
         np.asarray(flat_fr) / scale, np.asarray(flat_rr) / scale, atol=1e-5
     )
+
+
+def test_attach_host_fast_path_matches_jnp(monkeypatch):
+    """attach_edge_layouts takes a host-CPU fast path on concrete inputs when
+    the default backend is an accelerator (a tunneled TPU pays ~28 ms
+    dispatch RTT per eager op, measured ~120 s per attach at 900k edges);
+    the fast path must produce exactly the jnp path's layouts."""
+    import nequip_tpu.ops.pallas.tp_scatter as tps
+
+    data = _synthetic_stream()
+    ref = attach_edge_layouts(data)  # default backend cpu -> jnp path
+    monkeypatch.setattr(tps.jax, "default_backend", lambda: "tpu")
+    fast = attach_edge_layouts(data)
+    key = layout_key()
+    assert key in fast
+    flat_ref, _ = jax.tree.flatten(ref[key])
+    flat_fast, tdef = jax.tree.flatten(fast[key])
+    assert len(flat_ref) == len(flat_fast)
+    for a, b in zip(flat_ref, flat_fast):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the traced path (in-graph MD rebuild) is unaffected by the monkeypatch
+    traced = jax.jit(attach_edge_layouts)(data)
+    for a, b in zip(flat_ref, jax.tree.flatten(traced[key])[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
