@@ -340,29 +340,29 @@ def attach_edge_layouts(data, with_backward: bool = True):
     if with_backward and bwd_block_e() != DEFAULT_BLOCK_E:
         combos.append((DEFAULT_ROWS, bwd_block_e()))
 
-    # Concrete (untraced) inputs: run the layout computation eagerly on the
-    # HOST CPU backend and ship the finished layouts in one device_put.  The
-    # pure-jnp path dispatches dozens of tiny ops; on a tunneled TPU runtime
-    # each eager op pays the ~28 ms dispatch RTT, which measured ~120 s per
-    # attach at 900k edges (tools/md_case_attribution.py) vs ~13 s on host.
-    # Traced inputs (the in-graph MD rebuild path) keep the jnp path.
+    # Concrete (untraced) inputs: compute the layouts in PURE NUMPY on the
+    # host and ship the finished arrays in one device_put.  The pure-jnp
+    # path dispatches dozens of tiny ops; on a tunneled TPU runtime each
+    # eager op pays the ~28 ms dispatch RTT (~120 s per attach at 900k
+    # edges, tools/md_case_attribution.py), and even eager jnp-on-CPU costs
+    # ~13 s — numpy does the same work in well under a second, which is what
+    # makes per-step skin rebuilds affordable in the MD hot loop.  Traced
+    # inputs (the in-graph MD rebuild path) keep the jnp path below; the two
+    # implementations are pinned equal by
+    # tests/unit/ops/test_relayout.py::test_attach_host_fast_path_matches_jnp.
     is_concrete = not isinstance(edge_dst, jax.core.Tracer)
-    if is_concrete and jax.default_backend() != "cpu":
+    if is_concrete:
         ed = np.asarray(edge_dst)
         es = np.asarray(edge_src)
         em = np.asarray(edge_mask)
-        cpu = jax.local_devices(backend="cpu")[0]
         for rows, block_e in combos:
             if num_nodes % rows != 0:
                 continue
-            with jax.default_device(cpu):
-                lay = compute_edge_layout(
-                    jnp.asarray(ed), jnp.asarray(es), jnp.asarray(em),
-                    num_nodes, rows, block_e, with_dx=True,
-                )
-                lay = jax.tree.map(np.asarray, lay)
-            # one batched transfer to the default (TPU) device so the hot
-            # loop never re-ships host arrays per call
+            lay = _compute_edge_layout_np(
+                ed, es, em, num_nodes, rows, block_e, with_dx=True
+            )
+            # one batched transfer to the default device so the hot loop
+            # never re-ships host arrays per call
             out[layout_key(rows, block_e)] = jax.device_put(lay)
         return out
 
@@ -597,6 +597,122 @@ def _resolve_layout(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e, lay
             layout["valid"],
         )
     return _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e)
+
+
+def _layout_edges_np(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):
+    """Pure-numpy twin of ``_layout_edges`` (the attach-time host fast path).
+
+    Must stay semantically identical to the jnp version below — pinned by
+    tests/unit/ops/test_relayout.py::test_attach_host_fast_path_matches_jnp.
+    """
+    E = edge_dst.shape[0]
+    T = num_nodes // rows
+    iota = np.arange(E, dtype=np.int32)
+    if (
+        _os.environ.get("NEQUIP_RELAYOUT_SRC_SORT", "0") == "1"
+        and edge_src is not None
+    ):
+        if T * num_nodes < 2**31:
+            key = ((edge_dst // rows) * num_nodes + edge_src).astype(np.int32)
+            is_sorted = bool(np.all(key[1:] >= key[:-1])) if E > 1 else True
+            order = (
+                iota if is_sorted else np.argsort(key, kind="stable").astype(np.int32)
+            )
+        else:
+            o1 = np.argsort(edge_src, kind="stable").astype(np.int32)
+            o2 = np.argsort(edge_dst[o1] // rows, kind="stable").astype(np.int32)
+            order = o1[o2]
+    else:
+        is_sorted = (
+            bool(np.all(edge_dst[1:] >= edge_dst[:-1])) if E > 1 else True
+        )
+        order = (
+            iota
+            if is_sorted
+            else np.argsort(edge_dst, kind="stable").astype(np.int32)
+        )
+    dst_sorted = edge_dst[order]
+    tile_sorted = dst_sorted // rows
+
+    counts = np.bincount(tile_sorted, minlength=T)[:T].astype(np.int32)
+    aligned = np.maximum(((counts + block_e - 1) // block_e) * block_e, block_e)
+    aligned_off = np.concatenate(
+        [np.zeros(1, aligned.dtype), np.cumsum(aligned)[:-1]]
+    )
+    tile_edge_off = np.concatenate(
+        [np.zeros(1, counts.dtype), np.cumsum(counts)[:-1]]
+    )
+
+    E_pal = ((E + T * block_e + block_e - 1) // block_e) * block_e
+    G = E_pal // block_e
+    if G >= 512:
+        G = ((G + 31) // 32) * 32
+        E_pal = G * block_e
+
+    idx = np.arange(E, dtype=np.int32)
+    pos_in_tile = idx - tile_edge_off[tile_sorted].astype(np.int32)
+    new_index = (aligned_off[tile_sorted] + pos_in_tile).astype(np.int32)
+
+    take_idx = np.full((E_pal,), E, dtype=np.int32)
+    take_idx[new_index] = order.astype(np.int32)
+
+    valid = take_idx < E
+    dst_lay = np.where(valid, edge_dst[np.minimum(take_idx, E - 1)], -1)
+
+    aligned_cum = np.cumsum(aligned)
+    chunk_tile = np.searchsorted(
+        aligned_cum, np.arange(G, dtype=aligned_cum.dtype) * block_e, side="right"
+    ).astype(np.int32)
+    chunk_tile = np.minimum(chunk_tile, T - 1)
+    chunk_start = np.arange(G, dtype=np.int32) * block_e
+    chunk_first = (
+        chunk_start == aligned_off[chunk_tile].astype(np.int32)
+    ).astype(np.int32)
+
+    rel_dst = np.where(valid, dst_lay - np.repeat(chunk_tile, block_e) * rows, -1)
+    return take_idx, rel_dst.astype(np.int32), chunk_tile, chunk_first, valid
+
+
+def _edge_fingerprint_np(edge_dst, edge_mask):
+    """Numpy twin of ``_edge_fingerprint`` (int32 wraparound semantics)."""
+    e = edge_dst.astype(np.int32)
+    if edge_mask is not None:
+        e = np.where(edge_mask, e, np.int32(-1))
+    w = ((np.arange(e.shape[0], dtype=np.int32) % 8191) + 1).astype(np.int32)
+    with np.errstate(over="ignore"):
+        return np.int32(
+            np.sum((e + np.int32(2)) * w, dtype=np.int32)
+        )
+
+
+def _compute_edge_layout_np(
+    edge_dst, edge_src, edge_mask, num_nodes, rows=None, block_e=None, with_dx=False
+):
+    """Numpy twin of ``compute_edge_layout`` for attach-time host prep."""
+    rows = DEFAULT_ROWS if rows is None else rows
+    block_e = DEFAULT_BLOCK_E if block_e is None else block_e
+    take_idx, rel_dst, chunk_tile, chunk_first, valid = _layout_edges_np(
+        edge_dst, edge_src, edge_mask, num_nodes, rows, block_e
+    )
+    lay = {
+        "take_idx": take_idx,
+        "rel_dst": rel_dst,
+        "chunk_tile": chunk_tile,
+        "chunk_first": chunk_first,
+        "valid": valid,
+        "fingerprint": _edge_fingerprint_np(edge_dst, edge_mask),
+    }
+    if with_dx:
+        E = edge_dst.shape[0]
+        safe_idx = np.minimum(take_idx, E - 1)
+        src_lay = edge_src[safe_idx]
+        wm = valid
+        if edge_mask is not None:
+            wm = wm & edge_mask[safe_idx]
+        lay["dx"] = _compute_edge_layout_np(
+            src_lay, src_lay, wm, num_nodes, rows, block_e
+        )
+    return lay
 
 
 def _layout_edges(edge_dst, edge_src, edge_mask, num_nodes, rows, block_e):

@@ -301,25 +301,24 @@ def test_fr_equals_rr_on_relaid_stream(model_pair):
     )
 
 
-def test_attach_host_fast_path_matches_jnp(monkeypatch):
-    """attach_edge_layouts takes a host-CPU fast path on concrete inputs when
-    the default backend is an accelerator (a tunneled TPU pays ~28 ms
-    dispatch RTT per eager op, measured ~120 s per attach at 900k edges);
-    the fast path must produce exactly the jnp path's layouts."""
-    import nequip_tpu.ops.pallas.tp_scatter as tps
-
+@pytest.mark.parametrize("src_sort", ["0", "1"])
+def test_attach_host_fast_path_matches_jnp(monkeypatch, src_sort):
+    """attach_edge_layouts computes layouts in pure numpy on concrete inputs
+    (eager jnp pays ~28 ms dispatch RTT per op on a tunneled TPU — ~120 s
+    per attach at 900k edges — and ~13 s even on CPU); the numpy twin
+    (_layout_edges_np / _compute_edge_layout_np) must produce exactly the
+    traced jnp path's layouts, in both edge orderings."""
+    monkeypatch.setenv("NEQUIP_RELAYOUT_SRC_SORT", src_sort)
     data = _synthetic_stream()
-    ref = attach_edge_layouts(data)  # default backend cpu -> jnp path
-    monkeypatch.setattr(tps.jax, "default_backend", lambda: "tpu")
-    fast = attach_edge_layouts(data)
+    fast = attach_edge_layouts(data)  # concrete inputs -> numpy twin
+    # fresh lambda per param: jax.jit caches traces on the wrapped function
+    # OBJECT, and SRC_SORT is a trace-time gate — jitting attach_edge_layouts
+    # directly would silently reuse the other param's trace
+    traced = jax.jit(lambda d: attach_edge_layouts(d))(data)
     key = layout_key()
     assert key in fast
-    flat_ref, _ = jax.tree.flatten(ref[key])
-    flat_fast, tdef = jax.tree.flatten(fast[key])
-    assert len(flat_ref) == len(flat_fast)
-    for a, b in zip(flat_ref, flat_fast):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # the traced path (in-graph MD rebuild) is unaffected by the monkeypatch
-    traced = jax.jit(attach_edge_layouts)(data)
-    for a, b in zip(flat_ref, jax.tree.flatten(traced[key])[0]):
+    flat_fast, _ = jax.tree.flatten(fast[key])
+    flat_traced, _ = jax.tree.flatten(traced[key])
+    assert len(flat_fast) == len(flat_traced)
+    for a, b in zip(flat_fast, flat_traced):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
