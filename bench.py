@@ -758,13 +758,19 @@ def main():
     # r5 matrix: trimmed to the rows the record needs (VERDICT r4 item 2 —
     # "calib, 23k f32/bf16 infer, 23k train, md, >=1 100k infer + the 100k
     # f32 train row"), ordered so they land in priority order within the
-    # 1800 s budget.  The persistent compile cache does NOT reliably hit
-    # across processes on this backend (r5 A/A test), so every row must
-    # assume a cold compile: dropped the 23k xla infer row (4k xla is the
-    # XLA anchor) and the 100k f32-tf32 infer row (strict f32 + bf16 cover
-    # the comparison).  The md row (host-NL loop — infer-sized compile)
-    # moved BEFORE the 100k rows: it is the north-star metric and has never
-    # landed in 4 rounds.
+    # 1800 s budget.  Dropped the 23k xla infer row (4k xla is the XLA
+    # anchor) and the 100k f32-tf32 infer row (strict f32 + bf16 cover the
+    # comparison).  The md row (host-integration loop — ONE infer-sized
+    # compile) moved BEFORE the 100k rows: it is the north-star metric and
+    # never landed in rounds 1-4.
+    # Compile-cache reality (r5, corrected): the persistent cache DOES hit
+    # across processes when the program is bit-identical (same shapes/dtype/
+    # tf32/fr_chunks/remat/kernel env) — measured 190 s -> 14 s on the 23k
+    # E+F program — but the 100k f32 train compile is >1100 s COLD (rc=124
+    # probe, 2026-08-20), far beyond any per-case cap.  100k rows therefore
+    # land only when tools/warm_bench_cache.py has run beforehand (it
+    # compiles every matrix program once, uncapped); cold they record a
+    # timeout error row and the budget moves on.
     plan = [
         (0, "calib", "-", "-", 0, False, False, None, "cheap"),
         (4000, "infer", "xla", dtype, n_steps, False, False, None, "cheap"),
@@ -812,9 +818,13 @@ def main():
                      "error": "skipped: HBM probe failed (co-tenant holds chip memory or tunnel down)"}
                 )
                 continue
-        # train at >50k runs the edge-chunked fr sweep from the start: the
-        # unchunked window is ~27 GiB f32 / 15.5 bf16 vs a 16 GB chip
-        fr_chunks = 8 if (mode == "train" and atoms > 50000) else None
+        # every fr train row runs the edge-chunked sweep: at >50k it is
+        # required (unchunked window ~27 GiB f32 vs a 16 GB chip) and at 23k
+        # it is FREE — measured A/B 493.2 (chunked) vs 495.2 ms (unchunked)
+        # on a calm chip (2026-08-20, /tmp/train_chunk_ab.py) — while cutting
+        # the temp floor 6.0 -> 2.65 GiB, so the row now matches the
+        # production recommendation (VERDICT r4 weak #6)
+        fr_chunks = 8 if mode == "train" else None
         if subproc:
             elapsed = time.perf_counter() - t_start
             # cap 600 s: in r4 two 900 s rows ate a third of the budget and
