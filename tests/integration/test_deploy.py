@@ -519,3 +519,52 @@ def test_md_host_integration_matches_block(ckpt):
     np.testing.assert_allclose(
         outs["host"]["aux"], outs["block"]["aux"], atol=1e-10
     )
+
+
+def test_md_edge_headroom_absorbs_rebuild_growth(ckpt):
+    """The first NL build over-allocates edge capacity (edge_headroom) so a
+    denser rebuild re-pads into the SAME capacity (no recompile); a rebuild
+    that outgrows even the headroom grows the cap WITH fresh headroom."""
+    from nequip_tpu.model import ModelFromCheckpoint
+    from nequip_tpu.integrations import MDDriver, VelocityVerlet
+    from nequip_tpu.data.dataset import LJTestDataset
+
+    path, _ = ckpt
+    model, params = ModelFromCheckpoint(path)
+    ds = LJTestDataset(supercell=(3, 3, 3), num_frames=1, seed=31)
+    n = ds.frames[0][_keys.POSITIONS_KEY].shape[0]
+    frame = {
+        _keys.POSITIONS_KEY: ds.frames[0][_keys.POSITIONS_KEY],
+        _keys.CELL_KEY: ds.frames[0][_keys.CELL_KEY],
+        _keys.PBC_KEY: np.array([True] * 3),
+        _keys.ATOM_TYPE_KEY: np.zeros(n, dtype=int),
+    }
+    driver = MDDriver(
+        model, params, dict(frame),
+        integrator=VelocityVerlet(dt_fs=1.0),
+        masses=np.full(n, 63.5),
+        skin=0.5,
+        edge_headroom=1.1,
+    )
+    cap0 = driver._cap
+    e0 = int(np.asarray(driver._batch[_keys.EDGE_MASK_KEY]).sum())
+    assert cap0[1] >= 1.1 * e0 - 256  # headroom applied at first build
+
+    # same-density rebuild: capacity unchanged, compiled program kept
+    driver._block_fn()
+    block0 = driver._compiled_block
+    driver._build_neighborlist()
+    assert driver._cap == cap0
+    assert driver._compiled_block is block0
+
+    # compress the box ~10% (linear) -> ~35% more edges: outgrows the 1.1x
+    # headroom, so the cap must GROW (with fresh headroom) and recompile
+    driver._frame[_keys.CELL_KEY] = 0.9 * np.asarray(driver._frame[_keys.CELL_KEY])
+    driver._frame[_keys.POSITIONS_KEY] = 0.9 * np.asarray(
+        driver._frame[_keys.POSITIONS_KEY]
+    )
+    driver._build_neighborlist()
+    e1 = int(np.asarray(driver._batch[_keys.EDGE_MASK_KEY]).sum())
+    assert e1 > 1.1 * e0
+    assert driver._cap[1] >= 1.1 * e1 - 256
+    assert driver._compiled_block is None  # recompile signalled once
